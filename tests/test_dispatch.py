@@ -1,0 +1,86 @@
+"""Dispatch path equivalence: dense == packed == EP(shard_map over 8 CPU
+devices).  Mirrors the reference's single-process-vs-EP equivalence contract
+(utils/UniMoE_Audio_core.py:446-493 with/without ep_group)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from unimoe_audio_tpu.moe import dispatch as D
+
+
+def make_params(rng, E, dim, F):
+    k = jax.random.split(rng, 3)
+    return {
+        "gate": jax.random.normal(k[0], (E, dim, F)) * 0.1,
+        "up": jax.random.normal(k[1], (E, dim, F)) * 0.1,
+        "down": jax.random.normal(k[2], (E, F, dim)) * 0.1,
+    }
+
+
+def random_routing(rng, S, E):
+    k1, k2 = jax.random.split(rng)
+    mask = (jax.random.uniform(k1, (S, E)) > 0.6).astype(jnp.int32)
+    w = jax.random.uniform(k2, (S, E))
+    return mask, w
+
+
+def test_dense_equals_packed_full_capacity():
+    rng = jax.random.PRNGKey(0)
+    S, E, dim, F = 48, 4, 16, 32
+    params = make_params(rng, E, dim, F)
+    hidden = jax.random.normal(jax.random.fold_in(rng, 1), (S, dim))
+    mask, w = random_routing(jax.random.fold_in(rng, 2), S, E)
+
+    dense = D.moe_ffn_dense(hidden, mask, w, params)
+    packed = D.moe_ffn_packed(hidden, mask, w, params, capacity=S)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(packed), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_capacity_drop_matches_position_policy():
+    """With capacity < max load, packed drops later-sequence tokens — the
+    reference 'position' overflow semantics (cumsum ≥ cap ⇒ dropped)."""
+    rng = jax.random.PRNGKey(3)
+    S, E, dim, F = 32, 2, 8, 16
+    params = make_params(rng, E, dim, F)
+    hidden = jax.random.normal(jax.random.fold_in(rng, 1), (S, dim))
+    mask = jnp.ones((S, E), dtype=jnp.int32)
+    w = jnp.ones((S, E)) * 0.5
+    cap = 10
+
+    got = D.moe_ffn_packed(hidden, mask, w, params, capacity=cap)
+    # Tokens with position >= cap contribute zero.
+    kept_mask = (jnp.cumsum(mask, axis=0) - 1 < cap).astype(jnp.int32)
+    want = D.moe_ffn_dense(hidden, kept_mask, w, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("ep", [2, 4, 8])
+def test_ep_shard_map_matches_dense(ep):
+    """EP over an `expert` mesh axis reproduces the single-device result on
+    each rank's local token shard."""
+    devices = np.array(jax.devices()[:ep])
+    mesh = Mesh(devices, ("expert",))
+    E = 8
+    S_local, dim, F = 16, 8, 16
+    S = S_local * ep
+    rng = jax.random.PRNGKey(42)
+    params = make_params(rng, E, dim, F)
+    hidden = jax.random.normal(jax.random.fold_in(rng, 1), (S, dim))
+    mask, w = random_routing(jax.random.fold_in(rng, 2), S, E)
+    cap = S_local  # local capacity bound
+
+    got = shard_map(
+        lambda h, m, wt, g, u, d: D.moe_ffn_ep(
+            h, m, wt, {"gate": g, "up": u, "down": d}, cap, axis_name="expert"
+        ),
+        mesh=mesh,
+        in_specs=(P("expert"), P("expert"), P("expert"), P("expert"), P("expert"), P("expert")),
+        out_specs=P("expert"),
+    )(hidden, mask, w, params["gate"], params["up"], params["down"])
+
+    want = D.moe_ffn_dense(hidden, mask, w, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)

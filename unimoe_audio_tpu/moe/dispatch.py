@@ -1,0 +1,184 @@
+"""Expert dispatch & compute paths for DCMoE.
+
+Replaces the reference's compress_matrix → einsum → DeepSpeed all-to-all
+pipeline (reference: utils/UniMoE_Audio_core.py:419-493 and the pack/unpack
+primitives at utils/UniMoE_Audio_utils.py:436-523) with three TPU-native
+paths:
+
+  * dense   — every expert runs on every token; combine with the routing
+              weight matrix.  One batched einsum per projection, fully
+              MXU-resident.  Optimal when S is small (AR decode steps) and
+              exact for tests.
+  * packed  — capacity-packed gather dispatch: tokens are packed per-expert
+              by a stable sort of the routing mask (the argsort pack in
+              compress_matrix, utils/UniMoE_Audio_utils.py:460-483, becomes
+              a cumsum + gather), experts run on [E, cap, D] blocks, and the
+              combine gathers each token's row back.  No all-to-all.
+  * ep      — packed dispatch inside `shard_map` over the 'expert' mesh axis
+              with `jax.lax.all_to_all` around local expert compute and a
+              pmax capacity sync — the reference's _AllToAll/allreduce-MAX
+              EP pipeline (utils/UniMoE_Audio_core.py:455-488) as XLA
+              collectives over ICI.
+
+All paths share one stacked-parameter layout:
+  params = {"gate": [E, D, F], "up": [E, D, F], "down": [E, F, D]}
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def swiglu_expert_ffn(x_ecd: jnp.ndarray, params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Batched per-expert SwiGLU FFN: [E, C, D] → [E, C, D].
+
+    Mirrors AudioDynamicExpertMLP (reference: utils/UniMoE_Audio_core.py:34-49)
+    batched over the expert dim so every projection is one MXU matmul.
+    """
+    g = jnp.einsum("ecd,edf->ecf", x_ecd, params["gate"])
+    u = jnp.einsum("ecd,edf->ecf", x_ecd, params["up"])
+    h = jax.nn.silu(g) * u
+    return jnp.einsum("ecf,efd->ecd", h, params["down"])
+
+
+def swiglu_ffn(x_sd: jnp.ndarray, params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Single-expert SwiGLU FFN: [S, D] → [S, D] with params [D, F]/[F, D]."""
+    h = jax.nn.silu(x_sd @ params["gate"]) * (x_sd @ params["up"])
+    return h @ params["down"]
+
+
+def moe_ffn_dense(
+    hidden: jnp.ndarray,
+    expert_mask: jnp.ndarray,
+    router_weight: jnp.ndarray,
+    params: Dict[str, jnp.ndarray],
+) -> jnp.ndarray:
+    """Dense path: run all experts on all tokens, combine by weight.
+
+    combined[s] = Σ_e (w[s,e]·mask[s,e]) · FFN_e(hidden[s])
+
+    Semantically identical to AudioMOELayer.forward with ep_group=None
+    (reference: utils/UniMoE_Audio_core.py:446-493) because the packed
+    dispatch there zeroes non-selected slots before combining.
+    """
+    w = router_weight * expert_mask.astype(router_weight.dtype)  # [S, E]
+    x = jnp.broadcast_to(hidden[None], (params["gate"].shape[0],) + hidden.shape)
+    y = swiglu_expert_ffn(x, params)  # [E, S, D]
+    return jnp.einsum("se,esd->sd", w.astype(y.dtype), y)
+
+
+def pack_by_expert(
+    hidden: jnp.ndarray, expert_mask: jnp.ndarray, capacity: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pack each expert's selected tokens into a dense [E, cap, D] block.
+
+    The stable argsort pack of compress_matrix (reference:
+    utils/UniMoE_Audio_utils.py:460-483): selected tokens keep sequence
+    order; slot c of expert e holds the c-th selected token.  Returns
+    (packed [E, cap, D], token_idx [E, cap], pos [S, E]) where
+    pos[s, e] = slot of token s in expert e's block (valid where mask).
+    """
+    S = hidden.shape[0]
+    mask = expert_mask.astype(jnp.int32)
+    pos = jnp.cumsum(mask, axis=0) - 1  # [S, E]
+    order = jnp.argsort(1 - mask, axis=0, stable=True)  # selected tokens first
+    token_idx = order[:capacity, :].T  # [E, cap]
+    packed = hidden[token_idx]  # [E, cap, D]
+    counts = jnp.sum(mask, axis=0)  # [E]
+    slot_valid = jnp.arange(capacity)[None, :] < counts[:, None]  # [E, cap]
+    packed = jnp.where(slot_valid[..., None], packed, 0)
+    return packed, token_idx, pos
+
+
+def combine_from_packed(
+    y_packed: jnp.ndarray,
+    pos: jnp.ndarray,
+    expert_mask: jnp.ndarray,
+    router_weight: jnp.ndarray,
+) -> jnp.ndarray:
+    """Weighted gather-combine of packed expert outputs back to [S, D].
+
+    Inverse of pack_by_expert + the combine einsum (reference:
+    utils/UniMoE_Audio_core.py:486-488).
+    """
+    capacity = y_packed.shape[1]
+    w = (router_weight * expert_mask.astype(router_weight.dtype)).astype(y_packed.dtype)
+    safe_pos = jnp.clip(pos, 0, capacity - 1)  # [S, E]
+    # y_tok[s, e, :] = y_packed[e, pos[s, e], :]
+    y_tok = y_packed[jnp.arange(y_packed.shape[0])[None, :], safe_pos, :]  # [S, E, D]
+    # Tokens beyond capacity contribute zero (their slot was dropped).
+    in_cap = (pos < capacity) & (expert_mask > 0)
+    w = jnp.where(in_cap, w, 0)
+    return jnp.einsum("se,sed->sd", w, y_tok)
+
+
+def moe_ffn_packed(
+    hidden: jnp.ndarray,
+    expert_mask: jnp.ndarray,
+    router_weight: jnp.ndarray,
+    params: Dict[str, jnp.ndarray],
+    capacity: int,
+) -> jnp.ndarray:
+    """Capacity-packed path: pack → batched expert FFN → gather-combine."""
+    packed, _, pos = pack_by_expert(hidden, expert_mask, capacity)
+    y = swiglu_expert_ffn(packed.astype(hidden.dtype), params)
+    return combine_from_packed(y, pos, expert_mask, router_weight)
+
+
+def moe_ffn_ep(
+    hidden: jnp.ndarray,
+    expert_mask: jnp.ndarray,
+    router_weight: jnp.ndarray,
+    params: Dict[str, jnp.ndarray],
+    capacity: int,
+    *,
+    axis_name: str = "expert",
+) -> jnp.ndarray:
+    """Expert-parallel packed path — call INSIDE shard_map.
+
+    The caller shards `params` over experts along `axis_name` (each shard
+    holds E_local = E/ep experts) and shards tokens over the same axis
+    (expert-parallel ranks hold distinct token shards, like DeepSpeed's
+    expert+data process groups, utils/UniMoE_Audio_core.py:513-520).
+
+    Pipeline per shard (reference: utils/UniMoE_Audio_core.py:446-493):
+      pack local tokens for ALL E experts → [E, cap, D]
+      all-to-all over `axis_name`          → [E_local, ep·cap, D]
+      local expert FFN
+      all-to-all back                      → [E, cap, D]
+      gather-combine into local tokens.
+
+    `capacity` must already be the pmax-synced global capacity; use
+    `ep_capacity` below.
+    """
+    ep = jax.lax.axis_size(axis_name)
+    E_local = params["gate"].shape[0]
+    E = E_local * ep
+
+    packed, _, pos = pack_by_expert(hidden, expert_mask, capacity)  # [E, cap, D]
+    D = packed.shape[-1]
+    # Group the expert dim by destination rank: [ep, E_local, cap, D].
+    packed = packed.reshape(ep, E_local, capacity, D)
+    # all_to_all: scatter dim 0 to ranks, gather source-rank dim.
+    recv = jax.lax.all_to_all(packed, axis_name, split_axis=0, concat_axis=0, tiled=False)
+    # recv: [ep(src), E_local, cap, D] → merge src-rank and cap dims.
+    x_local = jnp.swapaxes(recv, 0, 1).reshape(E_local, ep * capacity, D)
+    y_local = swiglu_expert_ffn(x_local.astype(hidden.dtype), params)
+    # Undo: [E_local, ep, cap, D] → [ep, E_local, cap, D] → all_to_all back.
+    y_send = jnp.swapaxes(y_local.reshape(E_local, ep, capacity, D), 0, 1)
+    y_home = jax.lax.all_to_all(y_send, axis_name, split_axis=0, concat_axis=0, tiled=False)
+    y_packed = y_home.reshape(E, capacity, D)
+    return combine_from_packed(y_packed, pos, expert_mask, router_weight)
+
+
+def ep_capacity(expert_mask: jnp.ndarray, *, axis_name: Optional[str] = None) -> jnp.ndarray:
+    """Max tokens routed to any expert, optionally pmax-synced across EP ranks
+    (the reference's allreduce-MAX capacity sync,
+    utils/UniMoE_Audio_core.py:455-457)."""
+    cap = jnp.max(jnp.sum(expert_mask.astype(jnp.int32), axis=0))
+    if axis_name is not None:
+        cap = jax.lax.pmax(cap, axis_name)
+    return cap
