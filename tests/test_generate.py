@@ -1,0 +1,115 @@
+"""Generation-loop tests on the tiny random-weight model: shape/termination
+contracts of the jitted while-loop decoder (reference loop:
+utils/UniMoE_Audio_model.py:1070-1231)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unimoe_audio_tpu.config import tiny_test_config
+from unimoe_audio_tpu.codec import delay as dl
+from unimoe_audio_tpu.generate.loop import generate_jit, pad_buffer
+from unimoe_audio_tpu.models import model as M
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    params = M.init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    return cfg, params
+
+
+def run_generate(cfg, params, B=1, T_text=7, max_tokens=24, min_tokens=2, prompts=None, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = jnp.asarray(rng.integers(0, cfg.text_config.vocab_size - 1, size=(2 * B, T_text)))
+    attn = jnp.ones((2 * B, T_text), dtype=jnp.int32)
+    prefill, steps = dl.prepare_audio_prompt(
+        prompts if prompts is not None else [None] * B,
+        num_channels=cfg.codec_channels,
+        bos_value=cfg.codec_bos_value,
+        delay_pattern=cfg.codec_delay_pattern,
+    )
+    buf = pad_buffer(prefill, max_tokens)
+    return generate_jit(
+        params, cfg, ids, attn, None, buf, jnp.asarray(steps, dtype=jnp.int32),
+        jax.random.PRNGKey(seed),
+        max_tokens=max_tokens,
+        min_tokens=jnp.int32(min_tokens),
+        cfg_scale=jnp.float32(1.5),
+        temperature=jnp.float32(1.0),
+        top_p=jnp.float32(0.95),
+        cfg_filter_top_k=16,
+        eos_prob_mul_factor=jnp.float32(1.0),
+        do_sample=True,
+    ), steps
+
+
+def test_generate_shapes_and_ranges(setup):
+    cfg, params = setup
+    res, steps = run_generate(cfg, params, B=2, max_tokens=24)
+    codes = np.asarray(res.codes)
+    lengths = np.asarray(res.lengths)
+    assert codes.shape == (2, 24, cfg.codec_channels)
+    assert (codes >= 0).all() and (codes < cfg.codec_embed_size).all()
+    assert (lengths >= 0).all() and (lengths <= 24).all()
+    assert int(res.steps) <= 24
+
+
+def test_generate_terminates_at_max_and_pads_tail(setup):
+    cfg, params = setup
+    max_tokens = 20
+    res, steps = run_generate(cfg, params, B=1, max_tokens=max_tokens, min_tokens=1)
+    codes = np.asarray(res.codes)[0]
+    length = int(res.lengths[0])
+    # Tail beyond length+max_delay is PAD.
+    span = length + cfg.max_delay
+    assert (codes[span:] == cfg.codec_pad_value).all()
+    # Delay-revert runs clean and emits [length, C] frames in range.
+    outs = dl.generate_output(
+        jnp.asarray(codes)[None], jnp.asarray([length]),
+        pad_value=cfg.codec_pad_value, delay_pattern=cfg.codec_delay_pattern,
+    )
+    assert outs[0].shape == (length, cfg.codec_channels)
+
+
+def test_generate_eos_countdown_writes_delayed_eos(setup):
+    """When generation hits the max-length trigger, channel c must carry EOS
+    at its delay offset and PAD after (reference:
+    utils/UniMoE_Audio_model.py:1185-1197)."""
+    cfg, params = setup
+    max_tokens = 16
+    res, steps = run_generate(cfg, params, B=1, max_tokens=max_tokens, min_tokens=max_tokens + 5)
+    codes = np.asarray(res.codes)[0]
+    length = int(res.lengths[0])
+    finished = length  # relative frame index where countdown began
+    for c, dc in enumerate(cfg.codec_delay_pattern):
+        pos = finished + dc
+        # The max-delay channel never receives EOS: the reference's countdown
+        # exhausts after max_delay steps (step_after reaches max_delay-1 only,
+        # utils/UniMoE_Audio_model.py:1185-1197) and the repack PADs its slot.
+        if pos < max_tokens and dc < cfg.max_delay:
+            assert codes[pos, c] == cfg.codec_eos_value, (c, pos, codes[:, c])
+        elif pos < max_tokens:
+            assert codes[pos, c] == cfg.codec_pad_value, (c, pos, codes[:, c])
+
+
+def test_generate_with_voice_prompt_prefill(setup):
+    """Audio-prompt rows must survive into the output buffer (mask-merge:
+    prompt region wins over predictions)."""
+    cfg, params = setup
+    C = cfg.codec_channels
+    prompt = np.full((5, C), 7, dtype=np.int32)
+    res, steps = run_generate(cfg, params, B=1, max_tokens=20, prompts=[prompt])
+    assert steps == [6]
+    codes = np.asarray(res.codes)[0]
+    # codes start at prefill_steps=6; positions before that in the raw buffer
+    # belonged to the prompt. The returned window must still satisfy ranges.
+    assert (codes >= 0).all() and (codes < cfg.codec_embed_size).all()
+
+
+def test_generate_deterministic_greedy(setup):
+    cfg, params = setup
+    r1, _ = run_generate(cfg, params, seed=1)
+    r2, _ = run_generate(cfg, params, seed=1)
+    np.testing.assert_array_equal(np.asarray(r1.codes), np.asarray(r2.codes))

@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
 
-@dataclass
+@dataclass(frozen=True)
 class VisionConfig:
     """Qwen2.5-VL vision tower config (reference: utils/config.json:159-183)."""
 
@@ -40,7 +40,7 @@ class VisionConfig:
         return self.hidden_size // self.num_heads
 
 
-@dataclass
+@dataclass(frozen=True)
 class TextMoEConfig:
     """Decoder/MoE config (reference: utils/UniMoE_Audio_model.py:66-120,
     values from utils/config.json:53-151)."""
@@ -89,11 +89,11 @@ class TextMoEConfig:
 
     def __post_init__(self):
         if self.head_dim is None:
-            self.head_dim = self.hidden_size // self.num_attention_heads
+            object.__setattr__(self, "head_dim", self.hidden_size // self.num_attention_heads)
         if isinstance(self.mrope_section, list):
-            self.mrope_section = tuple(self.mrope_section)
+            object.__setattr__(self, "mrope_section", tuple(self.mrope_section))
         if isinstance(self.mlp_dynamic_top_k, float):
-            self.mlp_dynamic_top_k = int(self.mlp_dynamic_top_k)
+            object.__setattr__(self, "mlp_dynamic_top_k", int(self.mlp_dynamic_top_k))
 
     @property
     def num_dynamic_experts(self) -> int:
@@ -108,7 +108,7 @@ class TextMoEConfig:
         return self.num_dynamic_experts + self.mlp_fixed_expert_num
 
 
-@dataclass
+@dataclass(frozen=True)
 class UniMoEAudioConfig:
     """Top-level model config (reference: utils/UniMoE_Audio_model.py:123-163,
     values from utils/config.json:6-26)."""
@@ -132,11 +132,11 @@ class UniMoEAudioConfig:
 
     def __post_init__(self):
         if isinstance(self.text_config, dict):
-            self.text_config = TextMoEConfig(**self.text_config)
+            object.__setattr__(self, "text_config", TextMoEConfig(**self.text_config))
         if isinstance(self.vision_config, dict):
-            self.vision_config = VisionConfig(**self.vision_config)
+            object.__setattr__(self, "vision_config", VisionConfig(**self.vision_config))
         if isinstance(self.codec_delay_pattern, list):
-            self.codec_delay_pattern = tuple(self.codec_delay_pattern)
+            object.__setattr__(self, "codec_delay_pattern", tuple(self.codec_delay_pattern))
 
     @property
     def max_delay(self) -> int:

@@ -1,0 +1,261 @@
+"""Autoregressive codec-frame generation: one jit, `lax.while_loop` decode.
+
+TPU-native re-architecture of the reference's Python-driven decode loop
+(reference: utils/UniMoE_Audio_model.py:918-1231).  The reference runs ~50
+Python iterations/sec of audio, each dispatching a full 36-layer forward —
+dominated by host overhead.  Here prefill + the entire decode loop compile
+into ONE XLA program with a preallocated KV cache, the delay-pattern EOS
+countdown as loop-carry state, and CFG pairs batched as interleaved rows
+[neg, cond] × B (reference: repeat_interleave(2),
+utils/UniMoE_Audio_model.py:945).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import UniMoEAudioConfig
+from ..models.layers import KVCache
+from ..models.model import (
+    calculate_input_embedding,
+    codec_embedding,
+    codec_logits_from_hidden,
+    text_model_forward,
+)
+from .sampler import sample_next_token
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+class GenerateResult(NamedTuple):
+    codes: jnp.ndarray      # [B, max_tokens, C] delayed-domain codes per sample,
+                            # sliced to start at each sample's prefill step
+    lengths: jnp.ndarray    # [B] audio frame counts (pre-delay-revert)
+    steps: jnp.ndarray      # scalar: decode steps actually executed
+
+
+class _LoopState(NamedTuple):
+    dec_step: jnp.ndarray
+    buf: jnp.ndarray
+    cache: KVCache
+    eos_detected: jnp.ndarray
+    eos_countdown: jnp.ndarray
+    finished_step: jnp.ndarray
+    rng: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_tokens", "cfg_filter_top_k", "do_sample", "dispatch_mode",
+    ),
+)
+def generate_jit(
+    params: Dict,
+    cfg: UniMoEAudioConfig,
+    input_ids: jnp.ndarray,          # [2B, T_text] CFG-interleaved [neg, cond]
+    attention_mask: jnp.ndarray,     # [2B, T_text]
+    codec_input_ids: Optional[jnp.ndarray],  # [2B, T_text, C] aligned, or None
+    prefill_buf: jnp.ndarray,        # [B, buf_len, C] delayed prefill, -1 = open
+    prefill_steps: jnp.ndarray,      # [B]
+    rng: jax.Array,
+    *,
+    max_tokens: int,
+    min_tokens: jnp.ndarray,         # scalar int32
+    cfg_scale: jnp.ndarray,          # scalar f32
+    temperature: jnp.ndarray,        # scalar f32
+    top_p: jnp.ndarray,              # scalar f32
+    cfg_filter_top_k: int,
+    eos_prob_mul_factor: jnp.ndarray,  # scalar f32
+    do_sample: bool = True,
+    dispatch_mode: str = "dense",
+) -> GenerateResult:
+    tc = cfg.text_config
+    B2, T_text = input_ids.shape
+    B = B2 // 2
+    C = cfg.codec_channels
+    Vc = cfg.codec_embed_size
+    eos, pad = cfg.codec_eos_value, cfg.codec_pad_value
+    delay = jnp.asarray(cfg.codec_delay_pattern, dtype=jnp.int32)
+    max_delay = cfg.max_delay
+    T_total = T_text + max_tokens + 2
+    buf_len = prefill_buf.shape[1]
+
+    # ---------------- prefill ----------------
+    inputs_embeds = calculate_input_embedding(
+        params, input_ids, codec_input_ids, cfg.codec_placeholder_value
+    )
+    pos = jnp.cumsum(attention_mask, axis=-1) - 1
+    pos = jnp.where(attention_mask == 0, 1, pos)
+    position_ids = jnp.broadcast_to(pos[None], (3, B2, T_text))
+
+    cache = KVCache.create(
+        tc.num_hidden_layers, B2, T_total, tc.num_key_value_heads, tc.head_dim,
+        dtype=inputs_embeds.dtype,
+    )
+    kv_valid = jnp.concatenate(
+        [attention_mask.astype(jnp.int32), jnp.zeros((B2, T_total - T_text), jnp.int32)], axis=-1
+    )
+    out = text_model_forward(
+        params, inputs_embeds, position_ids, tc,
+        kv_cache=cache,
+        cache_position=jnp.int32(0),
+        kv_valid_mask=kv_valid,
+        padding_token_mask=attention_mask,
+        dispatch_mode=dispatch_mode,
+    )
+    cache = out.kv_cache
+
+    text_lens = jnp.sum(attention_mask, axis=-1)  # [2B]
+    start_step = jnp.min(prefill_steps) - 1
+
+    # ---------------- decode loop ----------------
+    def cond_fn(s: _LoopState):
+        return jnp.logical_and(
+            s.dec_step < max_tokens, jnp.logical_not(jnp.all(s.eos_countdown == 0))
+        )
+
+    def body_fn(s: _LoopState):
+        dec_step = s.dec_step
+        current_step = dec_step + 1
+        rel = dec_step - start_step          # 0, 1, 2, ... frames decoded
+        cache_pos = T_text + rel
+
+        tokens = jax.lax.dynamic_slice(
+            s.buf, (0, dec_step, 0), (B, 1, C)
+        )  # [B, 1, C]
+        tokens_2B = jnp.repeat(tokens, 2, axis=0)  # CFG pairing
+        emb = codec_embedding(params, tokens_2B)  # [2B, 1, D]
+
+        step_pos = (text_lens + rel)[None, :, None]  # [1, 2B, 1]
+        position_ids = jnp.broadcast_to(step_pos, (3, B2, 1))
+
+        key_idx = jnp.arange(T_total)[None, :]
+        kv_valid = jnp.where(
+            key_idx < T_text,
+            jnp.pad(attention_mask, ((0, 0), (0, T_total - T_text)))[:, :T_total],
+            (key_idx <= cache_pos).astype(jnp.int32),
+        )
+
+        step_out = text_model_forward(
+            params, emb, position_ids, tc,
+            kv_cache=s.cache,
+            cache_position=cache_pos,
+            kv_valid_mask=kv_valid,
+            dispatch_mode=dispatch_mode,
+        )
+        hidden = step_out.last_hidden_state  # [2B, 1, D]
+        logits = codec_logits_from_hidden(params, hidden, cfg)[:, 0]  # [2B, C, Vc]
+
+        # CFG combine: rows interleave [neg, cond]
+        # (reference: utils/UniMoE_Audio_model.py:991-999).
+        pair = logits.reshape(B, 2, C, Vc)
+        uncond, cond = pair[:, 0], pair[:, 1]
+        logits_B = jnp.where(cfg_scale != 0, cond + cfg_scale * (cond - uncond), cond)
+
+        # EOS gating (reference: utils/UniMoE_Audio_model.py:1001-1017).
+        enable_eos = dec_step >= min_tokens
+        col = jnp.arange(Vc)[None, None, :]
+        ch = jnp.arange(C)[None, :, None]
+        kill = (col > eos) | ((ch > 0) & (col >= eos)) | (
+            (~enable_eos) & (col >= eos)
+        )
+        logits_B = jnp.where(kill, NEG_INF, logits_B)
+        eos_slot = (ch == 0) & (col == eos)
+        logits_B = jnp.where(eos_slot, logits_B * eos_prob_mul_factor, logits_B)
+
+        rng, sample_key = jax.random.split(s.rng)
+        flat = logits_B.reshape(B * C, Vc)
+        if do_sample:
+            pred = sample_next_token(
+                sample_key, flat,
+                temperature=temperature, top_p=top_p, top_k=cfg_filter_top_k,
+                audio_eos_value=eos,
+            )
+        else:
+            pred = jnp.argmax(flat, axis=-1)
+        pred = pred.reshape(B, C).astype(jnp.int32)
+
+        # --- delay-pattern EOS countdown state machine
+        # (reference: utils/UniMoE_Audio_model.py:1173-1197) ---
+        active = s.eos_countdown != 0
+        is_eos_tok = (~s.eos_detected) & (pred[:, 0] == eos)
+        is_max_len = current_step >= (max_tokens - max_delay)
+        trigger = active & (is_eos_tok | is_max_len)
+        eos_detected = s.eos_detected | trigger
+        start_cd = trigger & (s.eos_countdown < 0)
+        eos_countdown = jnp.where(start_cd, max_delay, s.eos_countdown)
+        finished_step = jnp.where(start_cd, current_step, s.finished_step)
+
+        padding_phase = eos_countdown > 0
+        step_after = (max_delay - eos_countdown)[:, None]  # [B, 1]
+        eos_write = padding_phase[:, None] & (step_after == delay[None, :])
+        pad_write = padding_phase[:, None] & (step_after > delay[None, :])
+        pred = jnp.where(eos_write, eos, jnp.where(pad_write, pad, pred))
+        eos_countdown = jnp.where(padding_phase, eos_countdown - 1, eos_countdown)
+
+        # Mask-merge into the buffer: prompt/BOS slots (>= 0) win
+        # (reference DecoderOutput.update_one apply_mask,
+        # utils/UniMoE_Audio_utils.py:290-298).
+        cur = jax.lax.dynamic_slice(s.buf, (0, current_step, 0), (B, 1, C))[:, 0]
+        merged = jnp.where(cur == -1, pred, cur)
+        buf = jax.lax.dynamic_update_slice(
+            s.buf, merged[:, None, :], (0, current_step, 0)
+        )
+
+        return _LoopState(
+            dec_step=dec_step + 1,
+            buf=buf,
+            cache=step_out.kv_cache,
+            eos_detected=eos_detected,
+            eos_countdown=eos_countdown,
+            finished_step=finished_step,
+            rng=rng,
+        )
+
+    init = _LoopState(
+        dec_step=start_step,
+        buf=prefill_buf,
+        cache=cache,
+        eos_detected=jnp.zeros((B,), dtype=bool),
+        eos_countdown=jnp.full((B,), -1, dtype=jnp.int32),
+        finished_step=jnp.full((B,), -1, dtype=jnp.int32),
+        rng=rng,
+    )
+    final = jax.lax.while_loop(cond_fn, body_fn, init)
+
+    # ---------------- length accounting + repack ----------------
+    # (reference: utils/UniMoE_Audio_model.py:1205-1228)
+    final_step = final.dec_step + 1
+    finished = jnp.where(
+        final.finished_step == -1, final_step - max_delay, final.finished_step
+    )
+    lengths = jnp.clip(finished - prefill_steps, 0, max_tokens)
+
+    def slice_one(buf_b, start):
+        return jax.lax.dynamic_slice(buf_b, (start, 0), (max_tokens, C))
+
+    codes = jax.vmap(slice_one)(final.buf, prefill_steps)
+    # Positions beyond each sample's generated span are PAD.
+    span = (lengths + max_delay)[:, None]
+    idx = jnp.arange(max_tokens)[None, :]
+    codes = jnp.where((idx < span)[..., None], codes, pad)
+    # Any never-written sentinel (-1) also becomes PAD.
+    codes = jnp.where(codes == -1, pad, codes)
+
+    return GenerateResult(codes=codes, lengths=lengths, steps=final.dec_step - start_step)
+
+
+def pad_buffer(prefill: jnp.ndarray, max_tokens: int) -> jnp.ndarray:
+    """Extend the delayed prefill buffer so that every sample's window
+    [prefill_step, prefill_step + max_tokens) plus the write head
+    (≤ max_tokens) fits without dynamic_slice clamping."""
+    B, P, C = prefill.shape
+    buf_len = P + max_tokens
+    fill = jnp.full((B, buf_len - P, C), -1, dtype=prefill.dtype)
+    return jnp.concatenate([prefill, fill], axis=1)

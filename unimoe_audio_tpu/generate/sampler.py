@@ -1,0 +1,62 @@
+"""Token sampling for codec-frame decoding.
+
+Port of _sample_next_token (reference: utils/UniMoE_Audio_model.py:873-916):
+temperature → EOS-unless-top suppression → top-k → top-p (nucleus) →
+categorical sample, applied per (batch × channel) row, fully in-jit via
+jax.random (replacing torch.multinomial).  temperature/top_p are dynamic
+(traced) scalars so changing them never recompiles; top_k and the EOS id
+are static.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def sample_next_token(
+    rng: jax.Array,
+    logits_NxV: jnp.ndarray,
+    *,
+    temperature: Union[float, jnp.ndarray],
+    top_p: Union[float, jnp.ndarray],
+    top_k: Optional[int],
+    audio_eos_value: Optional[int],
+) -> jnp.ndarray:
+    """Sample one token per row.  Use greedy=argmax at the caller for
+    temperature==0 (the reference's early-exit branch)."""
+    logits = logits_NxV.astype(jnp.float32) / jnp.maximum(temperature, 1e-8)
+    V = logits.shape[-1]
+
+    if audio_eos_value is not None and audio_eos_value >= 0:
+        # Suppress EOS unless it is already the top logit
+        # (reference: utils/UniMoE_Audio_model.py:886-891).
+        top_idx = jnp.argmax(logits, axis=-1)
+        eos_not_top = top_idx != audio_eos_value
+        eos_col = jnp.arange(V) == audio_eos_value
+        suppress = eos_not_top[:, None] & eos_col[None, :]
+        logits = jnp.where(suppress, NEG_INF, logits)
+
+    if top_k is not None and top_k < V:
+        kth = jnp.sort(logits, axis=-1)[:, V - top_k][:, None]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+
+    # Nucleus filter (dynamic top_p; no-op when top_p >= 1).
+    probs = jax.nn.softmax(logits, axis=-1)
+    order = jnp.argsort(-probs, axis=-1, stable=True)
+    sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
+    csum = jnp.cumsum(sorted_probs, axis=-1)
+    # Token at sorted rank 0 always kept; rank i kept iff csum[i-1] <= p
+    # (the reference's roll-by-one, utils/UniMoE_Audio_model.py:904-906).
+    sorted_keep = jnp.roll(csum <= top_p, 1, axis=-1).at[:, 0].set(True)
+    sorted_keep = sorted_keep | (jnp.float32(top_p) >= 1.0)
+    keep = jnp.put_along_axis(
+        jnp.zeros_like(sorted_keep), order, sorted_keep, axis=-1, inplace=False
+    )
+    logits = jnp.where(keep, logits, NEG_INF)
+
+    return jax.random.categorical(rng, logits, axis=-1)

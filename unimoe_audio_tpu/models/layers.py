@@ -1,0 +1,169 @@
+"""Transformer building blocks: RMSNorm, mRoPE, GQA attention with a
+preallocated functional KV cache.
+
+TPU-native equivalents of the reference's HF-block usage
+(reference: utils/UniMoE_Audio_model.py:193-457 building on
+transformers Qwen2_5_VLAttention / Qwen2RMSNorm / Qwen2_5_VLRotaryEmbedding).
+Everything is a pure function over param pytrees with static shapes so the
+whole decode step fuses under one jit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TextMoEConfig
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Qwen2RMSNorm: normalize in fp32, scale, cast back."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x * weight.astype(jnp.float32)).astype(dtype)
+
+
+def compute_mrope(
+    position_ids: jnp.ndarray,  # [3, B, T]
+    head_dim: int,
+    rope_theta: float,
+    mrope_section: Tuple[int, int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multimodal rotary embedding (Qwen2.5-VL style).
+
+    Frequencies are split into (t, h, w) sections of mrope_section sizes
+    (halves of head_dim/2); each section takes its angle from the matching
+    position row.  For text-only inputs all three rows are equal and this
+    degenerates to standard 1-D RoPE.  Returns cos/sin of shape [B, T, head_dim].
+    """
+    half = head_dim // 2
+    inv_freq = 1.0 / (rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    # angles[r, b, t, f] for each of the 3 position rows
+    angles = position_ids[..., None].astype(jnp.float32) * inv_freq  # [3, B, T, half]
+    # select section per frequency index
+    bounds = jnp.cumsum(jnp.asarray(mrope_section))
+    freq_idx = jnp.arange(half)
+    row = jnp.sum(freq_idx[:, None] >= bounds[None, :], axis=-1)  # 0/1/2 per freq
+    picked = jnp.einsum("rbtf,fr->btf", angles, jax.nn.one_hot(row, 3, dtype=jnp.float32))
+    emb = jnp.concatenate([picked, picked], axis=-1)  # [B, T, head_dim]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(q, k, cos, sin):
+    """q,k: [B, T, H, Dh]; cos,sin: [B, T, Dh]."""
+    cos = cos[:, :, None, :].astype(q.dtype)
+    sin = sin[:, :, None, :].astype(q.dtype)
+    q = q * cos + rotate_half(q) * sin
+    k = k * cos + rotate_half(k) * sin
+    return q, k
+
+
+class KVCache(NamedTuple):
+    """Preallocated KV cache, layer-major: [L, B, T_max, KV_heads, Dh].
+
+    The model scans over the leading layer axis, so per-layer slices
+    [B, T_max, KV, Dh] thread through `lax.scan` as xs/ys — replacing the
+    reference's DynamicCache growth (utils/UniMoE_Audio_model.py:353-354)
+    with a static buffer + dynamic_update_slice.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @classmethod
+    def create(cls, num_layers, batch, max_len, kv_heads, head_dim, dtype=jnp.bfloat16):
+        shape = (num_layers, batch, max_len, kv_heads, head_dim)
+        return cls(k=jnp.zeros(shape, dtype=dtype), v=jnp.zeros(shape, dtype=dtype))
+
+
+def update_cache_slice(cache_k, cache_v, k_new, v_new, start):
+    """Write [B, T_new, KV, Dh] into per-layer slices at time offset start."""
+    k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype), (0, start, 0, 0))
+    v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype), (0, start, 0, 0))
+    return k, v
+
+
+def attention(
+    params: Dict,
+    x: jnp.ndarray,                 # [B, T, D]
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cfg: TextMoEConfig,
+    *,
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # per-layer [B, T_max, KV, Dh]
+    cache_position: Optional[jnp.ndarray] = None,  # scalar start offset
+    kv_valid_mask: Optional[jnp.ndarray] = None,   # [B, T_kv] 1=attendable
+    causal: bool = True,
+) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """GQA attention (q/k/v with bias, o without — Qwen2.5 layout).
+
+    Two modes:
+      * no cache: self-attention over x with causal+padding mask.
+      * cache: writes k/v at cache_position, attends over the full cache
+        masked by kv_valid_mask (precomputed length mask).
+    """
+    B, T, Dm = x.shape
+    H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    q = (x @ params["q_proj"]["w"] + params["q_proj"]["b"]).reshape(B, T, H, Dh)
+    k = (x @ params["k_proj"]["w"] + params["k_proj"]["b"]).reshape(B, T, KV, Dh)
+    v = (x @ params["v_proj"]["w"] + params["v_proj"]["b"]).reshape(B, T, KV, Dh)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if cache_kv is not None:
+        k_all, v_all = update_cache_slice(cache_kv[0], cache_kv[1], k, v, cache_position)
+        cache_kv = (k_all, v_all)
+    else:
+        k_all, v_all = k, v
+
+    T_kv = k_all.shape[1]
+    groups = H // KV
+    qg = q.reshape(B, T, KV, groups, Dh)
+
+    scale = Dh ** -0.5
+    # scores: [B, KV, groups, T, T_kv]
+    scores = jnp.einsum("btkgd,bskd->bkgts", qg, k_all.astype(qg.dtype)).astype(jnp.float32) * scale
+
+    neg = jnp.float32(-1e30)
+    if kv_valid_mask is not None:
+        scores = jnp.where(kv_valid_mask[:, None, None, None, :] > 0, scores, neg)
+    if causal and cache_kv is None:
+        causal_mask = jnp.tril(jnp.ones((T, T_kv), dtype=bool), k=T_kv - T)
+        scores = jnp.where(causal_mask[None, None, None], scores, neg)
+    elif causal and cache_kv is not None and T > 1:
+        # Prefill into cache: position t may attend cache slots <= start + t.
+        key_pos = jnp.arange(T_kv)[None, :]
+        q_pos = cache_position + jnp.arange(T)[:, None]
+        scores = jnp.where((key_pos <= q_pos)[None, None, None], scores, neg)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bkgts,bskd->btkgd", probs, v_all.astype(x.dtype)).reshape(B, T, H * Dh)
+    out = out @ params["o_proj"]["w"]
+    return out, cache_kv
+
+
+def init_attention_params(rng, cfg: TextMoEConfig, dtype=jnp.bfloat16) -> Dict:
+    D, H, KV, Dh = cfg.hidden_size, cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    ks = jax.random.split(rng, 4)
+
+    def lin(key, din, dout, bias=True):
+        p = {"w": (jax.random.normal(key, (din, dout)) * din ** -0.5).astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((dout,), dtype=dtype)
+        return p
+
+    return {
+        "q_proj": lin(ks[0], D, H * Dh),
+        "k_proj": lin(ks[1], D, KV * Dh),
+        "v_proj": lin(ks[2], D, KV * Dh),
+        "o_proj": {"w": (jax.random.normal(ks[3], (H * Dh, D)) * (H * Dh) ** -0.5).astype(dtype)},
+    }

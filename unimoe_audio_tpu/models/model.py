@@ -1,0 +1,334 @@
+"""UniMoE-Audio model: MoE decoder stack + codec embeddings/heads.
+
+TPU-native port of UniAudioRVQQwen2_5VLMoEForConditionalGeneration
+(reference: utils/UniMoE_Audio_model.py:296-871).  Pure functions over a
+param pytree with LAYER-STACKED weights: every per-layer tensor carries a
+leading [L] axis and the stack runs as one `lax.scan`, so 36 layers compile
+as one loop body (fast compiles, natural pipeline sharding later).
+
+Param layout:
+  {
+    "embed_tokens": [V, D],
+    "layers": {
+        "input_layernorm":          [L, D],
+        "post_attention_layernorm": [L, D],
+        "attn": {"q_proj": {"w": [L, D, H·Dh], "b": [L, H·Dh]}, ...},
+        "moe":  {"gate": [L, D, E], "dynamic": {...[L, Er, ...]},
+                  "fixed": {...[L, nF, ...]}},
+    },
+    "norm": [D],
+    "lm_head": [D, V],
+    "codec_embed": [C, Vc, D],
+    "codec_head": [D, C·Vc],
+  }
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TextMoEConfig, UniMoEAudioConfig
+from ..moe.block import dcmoe_block, init_dcmoe_params
+from .layers import (
+    KVCache,
+    attention,
+    compute_mrope,
+    init_attention_params,
+    rms_norm,
+)
+
+
+class TextModelOutput(NamedTuple):
+    last_hidden_state: jnp.ndarray            # [B, T, D]
+    kv_cache: Optional[KVCache]
+    aux_loss: jnp.ndarray                     # [L] per-layer aux losses
+    router_top_k: Optional[jnp.ndarray]       # [L, S]
+    router_logits: Optional[jnp.ndarray]      # [L, S, E] (only when requested)
+    expert_mask: Optional[jnp.ndarray]        # [L, S, E] (only when requested)
+
+
+def text_model_forward(
+    params: Dict,
+    inputs_embeds: jnp.ndarray,          # [B, T, D]
+    position_ids: jnp.ndarray,           # [3, B, T]
+    cfg: TextMoEConfig,
+    *,
+    kv_cache: Optional[KVCache] = None,
+    cache_position: Optional[jnp.ndarray] = None,
+    kv_valid_mask: Optional[jnp.ndarray] = None,
+    padding_token_mask: Optional[jnp.ndarray] = None,
+    aux_balance_weight: Optional[jnp.ndarray] = None,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+    dispatch_mode: str = "dense",
+    capacity: Optional[int] = None,
+    output_router_stats: bool = False,
+    remat: bool = False,
+) -> TextModelOutput:
+    """36-layer decoder stack as one lax.scan over stacked layer params.
+
+    Port of Qwen2_5_VLMoETextModel.forward
+    (reference: utils/UniMoE_Audio_model.py:319-457): per layer pre-norm
+    attention + pre-norm DCMoE FFN with residuals; final RMSNorm.
+    """
+    B, T, Dm = inputs_embeds.shape
+    cos, sin = compute_mrope(position_ids, cfg.head_dim, cfg.rope_theta, cfg.mrope_section)
+
+    L = cfg.num_hidden_layers
+    layer_rngs = (
+        jax.random.split(rng, L) if rng is not None else jnp.zeros((L, 2), dtype=jnp.uint32)
+    )
+    use_cache = kv_cache is not None
+
+    def layer_fn(h, xs):
+        lp, layer_rng, cache_k, cache_v = xs
+        residual = h
+        hn = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
+        attn_out, new_cache = attention(
+            lp["attn"], hn, cos, sin, cfg,
+            cache_kv=(cache_k, cache_v) if use_cache else None,
+            cache_position=cache_position,
+            kv_valid_mask=kv_valid_mask,
+        )
+        h = residual + attn_out
+        residual = h
+        hn = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        moe_out = dcmoe_block(
+            lp["moe"], hn, cfg,
+            padding_token_mask=padding_token_mask,
+            aux_balance_weight=aux_balance_weight,
+            training=training,
+            rng=layer_rng if training else None,
+            dispatch_mode=dispatch_mode,
+            capacity=capacity,
+        )
+        h = residual + moe_out.hidden_states
+        ys = {
+            "aux_loss": moe_out.aux_loss,
+            "top_k": moe_out.router_top_k,
+        }
+        if output_router_stats:
+            ys["router_logits"] = moe_out.router_logits
+            ys["expert_mask"] = moe_out.expert_mask
+        if use_cache:
+            ys["cache_k"], ys["cache_v"] = new_cache
+        return h, ys
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+
+    xs = (
+        params["layers"],
+        layer_rngs,
+        kv_cache.k if use_cache else jnp.zeros((L, 0)),
+        kv_cache.v if use_cache else jnp.zeros((L, 0)),
+    )
+    h, ys = jax.lax.scan(layer_fn, inputs_embeds, xs)
+    h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
+
+    new_cache = KVCache(k=ys["cache_k"], v=ys["cache_v"]) if use_cache else None
+    return TextModelOutput(
+        last_hidden_state=h,
+        kv_cache=new_cache,
+        aux_loss=ys["aux_loss"],
+        router_top_k=ys["top_k"],
+        router_logits=ys.get("router_logits"),
+        expert_mask=ys.get("expert_mask"),
+    )
+
+
+def codec_embedding(params: Dict, codec_input_ids: jnp.ndarray) -> jnp.ndarray:
+    """Sum of per-channel codec embeddings (reference:
+    utils/UniMoE_Audio_model.py:655-661).  codec_input_ids: [..., C]."""
+    tables = params["codec_embed"]  # [C, Vc, D]
+    C = tables.shape[0]
+    toks = jnp.moveaxis(codec_input_ids, -1, 0)  # [C, ...]
+    embs = jax.vmap(lambda tbl, t: tbl[t])(tables, toks)  # [C, ..., D]
+    return jnp.sum(embs, axis=0)
+
+
+def calculate_input_embedding(
+    params: Dict,
+    input_ids: jnp.ndarray,                       # [B, T]
+    codec_input_ids: Optional[jnp.ndarray],       # [B, T, C] aligned, or None
+    placeholder_id: int,
+) -> jnp.ndarray:
+    """Text embeddings with codec embeddings scattered at placeholder slots.
+
+    Port of calculate_input_embedding (reference:
+    utils/UniMoE_Audio_model.py:663-670).  Unlike the reference's ordered
+    masked_scatter over a flat [N, C] codec tensor, the codec ids here are
+    ALIGNED [B, T, C] (pad positions arbitrary); hosts lay them out with
+    `align_codec_ids` below.
+    """
+    emb = params["embed_tokens"][input_ids]
+    if codec_input_ids is not None:
+        cemb = codec_embedding(params, codec_input_ids).astype(emb.dtype)
+        mask = (input_ids == placeholder_id)[..., None]
+        emb = jnp.where(mask, cemb, emb)
+    return emb
+
+
+def align_codec_ids(input_ids, flat_codec_ids, placeholder_id):
+    """Host-side helper: expand the reference's flat [N, C] codec tensor into
+    an aligned [B, T, C] tensor (row j of the flat tensor goes to the j-th
+    placeholder position in reading order, matching masked_scatter)."""
+    import numpy as np
+
+    input_ids = np.asarray(input_ids)
+    flat = np.asarray(flat_codec_ids)
+    B, T = input_ids.shape
+    C = flat.shape[-1]
+    out = np.zeros((B, T, C), dtype=flat.dtype)
+    pos = np.argwhere(input_ids == placeholder_id)
+    assert len(pos) == flat.shape[0], (
+        f"placeholder count {len(pos)} != codec rows {flat.shape[0]}"
+    )
+    for j, (b, t) in enumerate(pos):
+        out[b, t] = flat[j]
+    return out
+
+
+def codec_logits_from_hidden(params: Dict, hidden: jnp.ndarray, cfg: UniMoEAudioConfig) -> jnp.ndarray:
+    """[B, T, D] → [B, T, C, Vc] codec logits (fp32), reference:
+    utils/UniMoE_Audio_model.py:818-819."""
+    flat = (hidden @ params["codec_head"].astype(hidden.dtype)).astype(jnp.float32)
+    B, T = hidden.shape[:2]
+    return flat.reshape(B, T, cfg.codec_channels, cfg.codec_embed_size)
+
+
+class ModelOutput(NamedTuple):
+    loss: Optional[jnp.ndarray]
+    codec_loss: Optional[jnp.ndarray]
+    aux_loss: jnp.ndarray
+    logits: Optional[jnp.ndarray]
+    codec_logits: jnp.ndarray
+    kv_cache: Optional[KVCache]
+    router_top_k: Optional[jnp.ndarray]
+
+
+def model_forward(
+    params: Dict,
+    cfg: UniMoEAudioConfig,
+    input_ids: jnp.ndarray,
+    *,
+    codec_input_ids: Optional[jnp.ndarray] = None,   # [B, T, C] aligned
+    attention_mask: Optional[jnp.ndarray] = None,    # [B, T]
+    position_ids: Optional[jnp.ndarray] = None,      # [3, B, T]
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    codec_labels: Optional[jnp.ndarray] = None,      # [B, T, C], -100 = ignore
+    aux_balance_weight: Optional[jnp.ndarray] = None,
+    aux_loss_weight: float = 0.0,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+    dispatch_mode: str = "dense",
+    capacity: Optional[int] = None,
+    compute_lm_logits: bool = False,
+    remat: bool = False,
+) -> ModelOutput:
+    """Full-model forward (no cache — training / eval path).
+
+    Port of UniAudioRVQQwen2_5VLMoEForConditionalGeneration.forward
+    (reference: utils/UniMoE_Audio_model.py:672-871): input embedding with
+    codec scatter, decoder stack, lm + codec heads, per-channel shifted CE
+    over codec labels + weighted mean aux loss.
+    """
+    tc = cfg.text_config
+    B, T = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, T), dtype=jnp.int32)
+    if inputs_embeds is None:
+        inputs_embeds = calculate_input_embedding(
+            params, input_ids, codec_input_ids, cfg.codec_placeholder_value
+        )
+    if position_ids is None:
+        pos = jnp.cumsum(attention_mask, axis=-1) - 1
+        pos = jnp.where(attention_mask == 0, 1, pos)
+        position_ids = jnp.broadcast_to(pos[None], (3, B, T))
+
+    abw = None
+    if aux_balance_weight is not None:
+        abw = attention_mask * aux_balance_weight
+
+    out = text_model_forward(
+        params, inputs_embeds, position_ids, tc,
+        kv_valid_mask=attention_mask,
+        padding_token_mask=attention_mask,
+        aux_balance_weight=abw,
+        training=training,
+        rng=rng,
+        dispatch_mode=dispatch_mode,
+        capacity=capacity,
+        remat=remat,
+    )
+    hidden = out.last_hidden_state
+
+    logits = None
+    if compute_lm_logits:
+        logits = (hidden @ params["lm_head"].astype(hidden.dtype)).astype(jnp.float32)
+    codec_logits = codec_logits_from_hidden(params, hidden, cfg)
+
+    loss = None
+    codec_loss = None
+    mean_aux = jnp.mean(out.aux_loss)
+    if codec_labels is not None:
+        # Per-channel shifted CE; empty channels (all -100) contribute 0
+        # (reference skips them, utils/UniMoE_Audio_model.py:830-845 —
+        # mathematically identical to a 0 contribution).
+        shift_logits = codec_logits[:, :-1]                    # [B, T-1, C, Vc]
+        shift_labels = codec_labels[:, 1:]                     # [B, T-1, C]
+        valid = shift_labels != -100
+        safe_labels = jnp.where(valid, shift_labels, 0)
+        logp = jax.nn.log_softmax(shift_logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, nll, 0.0)
+        per_channel = jnp.sum(nll, axis=(0, 1)) / jnp.maximum(jnp.sum(valid, axis=(0, 1)), 1)
+        codec_loss = jnp.sum(per_channel)
+        loss = codec_loss + aux_loss_weight * mean_aux
+
+    return ModelOutput(
+        loss=loss,
+        codec_loss=codec_loss,
+        aux_loss=mean_aux,
+        logits=logits,
+        codec_logits=codec_logits,
+        kv_cache=None,
+        router_top_k=out.router_top_k,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+def init_model_params(rng: jax.Array, cfg: UniMoEAudioConfig, dtype=jnp.bfloat16) -> Dict:
+    """Random-init the full param pytree (layer-stacked)."""
+    tc = cfg.text_config
+    L, Dm, V = tc.num_hidden_layers, tc.hidden_size, tc.vocab_size
+    C, Vc = cfg.codec_channels, cfg.codec_embed_size
+    std = tc.initializer_range
+    keys = jax.random.split(rng, 8)
+
+    def stack_init(key, fn):
+        return jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[fn(k) for k in jax.random.split(key, L)],
+        )
+
+    layers = {
+        "input_layernorm": jnp.ones((L, Dm), dtype=dtype),
+        "post_attention_layernorm": jnp.ones((L, Dm), dtype=dtype),
+        "attn": stack_init(keys[0], lambda k: init_attention_params(k, tc, dtype)),
+        "moe": stack_init(keys[1], lambda k: init_dcmoe_params(k, tc, dtype)),
+    }
+    return {
+        "embed_tokens": (jax.random.normal(keys[2], (V, Dm)) * std).astype(dtype),
+        "layers": layers,
+        "norm": jnp.ones((Dm,), dtype=dtype),
+        "lm_head": (jax.random.normal(keys[3], (Dm, V)) * Dm ** -0.5).astype(dtype),
+        "codec_embed": (jax.random.normal(keys[4], (C, Vc, Dm)) * std).astype(dtype),
+        "codec_head": (jax.random.normal(keys[5], (Dm, C * Vc)) * Dm ** -0.5).astype(dtype),
+    }
