@@ -1,0 +1,88 @@
+"""Sharded training-step tests on the 8-device CPU mesh: dp×ep×tp jit
+compiles + executes, metrics finite, and sharded == single-device step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from unimoe_audio_tpu.config import tiny_test_config
+from unimoe_audio_tpu.models.model import init_model_params
+from unimoe_audio_tpu.parallel.mesh import batch_spec, make_mesh, param_specs, shard_params
+from unimoe_audio_tpu.train.step import (
+    TrainState, init_train_state, make_optimizer, train_step,
+)
+
+
+def make_batch(cfg, B, T, seed=0):
+    rng = np.random.default_rng(seed)
+    C = cfg.codec_channels
+    ids = np.full((B, T), cfg.codec_placeholder_value, dtype=np.int32)
+    codec = rng.integers(0, cfg.codec_eos_value, size=(B, T, C)).astype(np.int32)
+    labels = codec.copy()
+    labels[:, :2] = -100
+    return {
+        "input_ids": jnp.asarray(ids),
+        "codec_input_ids": jnp.asarray(codec),
+        "attention_mask": jnp.ones((B, T), jnp.int32),
+        "codec_labels": jnp.asarray(labels),
+        "aux_balance_weight": jnp.ones((B, T), jnp.float32),
+    }
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 2, 1), (1, 2, 4)])
+def test_sharded_train_step_runs(mesh_shape):
+    cfg = tiny_test_config(
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=2,
+        mlp_dynamic_expert_num=4, dynamic_intermediate_size=64,
+        shared_intermediate_size=32,
+    )
+    mesh = make_mesh(*mesh_shape)
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params = shard_params(params, mesh, cfg)
+    opt = make_optimizer(learning_rate=1e-3, total_steps=10, warmup_steps=1)
+    state = init_train_state(params, opt)
+    B = mesh_shape[0] * mesh_shape[1] * 2
+    batch = make_batch(cfg, B, 8)
+    bspec = NamedSharding(mesh, batch_spec())
+    batch = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(batch_spec()[0], *([None] * (x.ndim - 1))))),
+        batch,
+    )
+
+    step_fn = jax.jit(
+        lambda s, b, r: train_step(s, b, r, cfg=cfg, optimizer=opt, remat=True)
+    )
+    state2, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    assert int(state2.step) == 1
+    # A second step consumes the new state cleanly.
+    state3, m2 = step_fn(state2, batch, jax.random.PRNGKey(1))
+    assert float(m2["loss"]) <= float(metrics["loss"]) * 1.5
+
+
+def test_sharded_matches_single_device():
+    cfg = tiny_test_config()
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    opt = make_optimizer(learning_rate=1e-3, total_steps=10, warmup_steps=1)
+    batch = make_batch(cfg, 4, 8)
+
+    # Single device.
+    s0 = init_train_state(params, opt)
+    _, m_single = train_step(s0, batch, jax.random.PRNGKey(1), cfg=cfg, optimizer=opt)
+
+    # dp=2, tp=2 mesh.
+    mesh = make_mesh(2, 1, 2)
+    p_sh = shard_params(params, mesh, cfg)
+    s1 = init_train_state(p_sh, opt)
+    step_fn = jax.jit(lambda s, b, r: train_step(s, b, r, cfg=cfg, optimizer=opt))
+    _, m_sharded = step_fn(s1, batch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_sharded["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(m_single["grad_norm"]), float(m_sharded["grad_norm"]), rtol=1e-3
+    )

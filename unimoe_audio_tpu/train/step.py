@@ -1,0 +1,138 @@
+"""Training step: optax AdamW + schedule + jitted sharded update.
+
+Replaces the reference's MoETrainer/DeepSpeed machinery
+(reference: UniMoEV2-Preview/training/moe_trainer.py:288-809 + ZeRO-2
+config): grad sync and optimizer-state sharding come from the mesh
+shardings (ZeRO-equivalent = optimizer state sharded like params over the
+data axis is not needed on TPU pods at this scale; params/grads follow
+param_specs and XLA inserts the psums).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import UniMoEAudioConfig
+from ..models.model import model_forward
+
+
+class TrainState(NamedTuple):
+    params: Dict
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(
+    *,
+    learning_rate: float = 1e-4,
+    weight_decay: float = 0.0,
+    warmup_steps: int = 100,
+    total_steps: int = 10000,
+    schedule: str = "cosine",
+    b1: float = 0.9,
+    b2: float = 0.999,
+    grad_clip: float = 1.0,
+) -> optax.GradientTransformation:
+    """AdamW + warmup-cosine/-linear decay (the reference's canonical recipe,
+    UniMoEV2-Preview/script/training.sh:60-66 + deepspeed WarmupDecayLR)."""
+    if schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1)
+        )
+    elif schedule == "linear":
+        sched = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, learning_rate, warmup_steps),
+                optax.linear_schedule(learning_rate, 0.0, total_steps - warmup_steps),
+            ],
+            [warmup_steps],
+        )
+    else:
+        sched = learning_rate
+    # No weight decay on norms/biases/gates (the reference's decay/no-decay
+    # split, moe_trainer.py:295-310).
+    def decay_mask(params):
+        def is_decay(path, leaf):
+            name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+            return not any(s in name for s in ("layernorm", "norm", "_b", "/b"))
+        return jax.tree_util.tree_map_with_path(is_decay, params)
+
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay, mask=decay_mask),
+    )
+
+
+def aux_weight_at_step(cfg: UniMoEAudioConfig, step: jnp.ndarray) -> jnp.ndarray:
+    """Linearly-decayed aux-loss weight (reference cur_aux_weight,
+    utils/UniMoE_Audio_model.py:489-493)."""
+    tc = cfg.text_config
+    w0, w1 = tc.l_aux_weight, tc.min_l_aux_weight
+    steps = max(1, tc.l_aux_weight_decay_steps)
+    lin = w0 - (w0 - w1) / steps * step.astype(jnp.float32)
+    return jnp.where(step >= steps, w1, lin)
+
+
+def loss_fn(
+    params: Dict,
+    cfg: UniMoEAudioConfig,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    aux_weight: jnp.ndarray,
+    *,
+    dispatch_mode: str = "dense",
+    remat: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    out = model_forward(
+        params, cfg, batch["input_ids"],
+        codec_input_ids=batch.get("codec_input_ids"),
+        attention_mask=batch.get("attention_mask"),
+        codec_labels=batch["codec_labels"],
+        aux_balance_weight=batch.get("aux_balance_weight"),
+        aux_loss_weight=aux_weight,
+        training=True,
+        rng=rng,
+        dispatch_mode=dispatch_mode,
+        remat=remat,
+    )
+    metrics = {
+        "loss": out.loss,
+        "codec_loss": out.codec_loss,
+        "aux_loss": out.aux_loss,
+        "mean_top_k": jnp.mean(out.router_top_k.astype(jnp.float32)),
+    }
+    return out.loss, metrics
+
+
+def train_step(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    *,
+    cfg: UniMoEAudioConfig,
+    optimizer: optax.GradientTransformation,
+    dispatch_mode: str = "dense",
+    remat: bool = True,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One SGD step (wrap in jax.jit with donate_argnums at the call site)."""
+    aux_w = aux_weight_at_step(cfg, state.step)
+    step_rng = jax.random.fold_in(rng, state.step)
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, cfg, batch, step_rng, aux_w,
+        dispatch_mode=dispatch_mode, remat=remat,
+    )
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
+
+
+def init_train_state(params: Dict, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32)
+    )
