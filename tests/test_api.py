@@ -1,0 +1,104 @@
+"""End-to-end API tests on the tiny random-weight model: T2M and
+voice-clone TTS produce wav files through the full pipeline
+(tokenize → prefill → jitted decode → delay revert → DAC decode → wav)."""
+
+import re
+
+import numpy as np
+import pytest
+
+from unimoe_audio_tpu.api import SPECIAL_TOKENS, UniMoEAudio
+from unimoe_audio_tpu.codec import audio_io
+from unimoe_audio_tpu.config import tiny_test_config
+
+
+class StubTokenizer:
+    """Whitespace/special-token tokenizer with HF's __call__ surface."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.pad_token_id = 0
+        self.special = {t: 200 + i for i, t in enumerate(SPECIAL_TOKENS)}
+        self.special["<|AUDIO_PLACEHOLDER|>"] = cfg.codec_placeholder_value
+
+    def _encode_one(self, text):
+        pattern = "(" + "|".join(re.escape(t) for t in self.special) + ")"
+        ids = []
+        for part in re.split(pattern, text):
+            if not part:
+                continue
+            if part in self.special:
+                ids.append(self.special[part])
+            else:
+                for w in part.split():
+                    ids.append(1 + (hash(w) % 150))
+        return ids
+
+    def __call__(self, texts, add_special_tokens=False, padding=True, return_tensors="np"):
+        seqs = [self._encode_one(t) for t in texts]
+        T = max(len(s) for s in seqs)
+        ids = np.zeros((len(seqs), T), dtype=np.int32)
+        mask = np.zeros((len(seqs), T), dtype=np.int32)
+        for i, s in enumerate(seqs):  # left padding
+            ids[i, T - len(s):] = s
+            mask[i, T - len(s):] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config()
+    m = UniMoEAudio(
+        None, allow_random=True, config=cfg, tokenizer=StubTokenizer(cfg),
+        max_tokens=24, min_tokens=4,
+    )
+    return m
+
+
+def test_text_to_music_end_to_end(model, tmp_path):
+    paths = model.text_to_music("A peaceful piano melody", output_dir=str(tmp_path), seed=0)
+    assert len(paths) == 1 and paths[0].endswith(".wav")
+    audio, sr = audio_io.read_wav(paths[0])
+    assert sr == model.dac.config.sample_rate
+    assert audio.shape[-1] >= sr  # min_duration=1 s pad
+    assert np.isfinite(audio).all()
+
+
+def test_text_to_music_batch(model, tmp_path):
+    paths = model.text_to_music(
+        ["melody one", "melody two"], output_dir=str(tmp_path), seed=1
+    )
+    assert len(paths) == 2
+
+
+def test_text_to_speech_voice_clone_end_to_end(model, tmp_path):
+    # Build a reference wav, encode through the (random) DAC, clone.
+    sr = model.dac.config.sample_rate
+    t = np.linspace(0, 0.3, int(sr * 0.3), dtype=np.float32)
+    ref = str(tmp_path / "ref.wav")
+    audio_io.write_wav(ref, 0.3 * np.sin(2 * np.pi * 330 * t)[None], sr)
+
+    paths = model.text_to_speech(
+        "Hello world", prompt_text="reference transcript", prompt_wav=ref,
+        output_dir=str(tmp_path), seed=2,
+    )
+    assert len(paths) == 1 and paths[0].endswith(".wav")
+    audio, _ = audio_io.read_wav(paths[0])
+    assert np.isfinite(audio).all()
+
+
+def test_checkpoint_variant_kwargs(model, tmp_path):
+    sr = model.dac.config.sample_rate
+    t = np.linspace(0, 0.2, int(sr * 0.2), dtype=np.float32)
+    ref = str(tmp_path / "ref2.wav")
+    audio_io.write_wav(ref, 0.2 * np.sin(2 * np.pi * 220 * t)[None], sr)
+    paths = model.text_to_speech(
+        transcription="alias spelling", prompt_transcription="ref", prompt_wav=ref,
+        output_dir=str(tmp_path), seed=3,
+    )
+    assert len(paths) == 1
+
+
+def test_empty_caption_rejected(model):
+    assert model.text_to_music("") == []
+    assert model.text_to_speech("", prompt_text="x", prompt_wav=None) == []

@@ -1,0 +1,441 @@
+"""UniMoEAudio — the user-facing task API (TTS / T2M / VT2M).
+
+TPU-native port of the reference's high-level class
+(reference: utils/UniMoE_Audio_mod.py:38-624 and the checkpoint variant
+UniMoE_Audio.py:39-261): same method names, same prompt templates, same
+generation defaults.  Differences under the hood:
+  * model + codec are JAX param pytrees; generation is one jitted XLA
+    program (generate_jit) instead of a Python decode loop;
+  * text lengths are padded to buckets so repeated calls reuse compiles;
+  * weights load from a converted pickle (core.convert) or random-init for
+    development (`allow_random=True`).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .codec import audio_io
+from .codec import delay as dl
+from .codec.dac_wrapper import Dac
+from .config import UniMoEAudioConfig, tiny_test_config
+from .generate.loop import generate_jit, pad_buffer
+from .models.model import align_codec_ids, init_model_params
+
+# Prompt templates (reference: utils/UniMoE_Audio_mod.py:56-59).
+SYSTEM_MESSAGE = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+INPUT_FORMAT = "<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n"
+AUDIO_START = "<|AUDIO_START|>"
+DEFAULT_VIDEO_PROMPT = "{}"
+
+SPECIAL_TOKENS = [
+    "<|AUDIO_PLACEHOLDER|>", "<|AUDIO_START|>", "<|AUDIO_END|>",
+    "<|SPEECH_START|>", "<|SPEECH_END|>",
+    "<|VOICE_PROMPT_START|>", "<|VOICE_PROMPT_END|>",
+    "<|SPEECH_PROMPT_START|>", "<|SPEECH_PROMPT_END|>",
+    "<|MUSIC_START|>", "<|MUSIC_END|>",
+]
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+class UniMoEAudio:
+    """Unified speech + music generation (reference surface:
+    UniMoE_Audio.py:105-257)."""
+
+    MAX_TOKENS = 1000   # ≤20 s audio at 50 frames/s (utils/UniMoE_Audio_mod.py:45)
+    MIN_TOKENS = 100
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        device_id: int = 0,
+        *,
+        dtype=jnp.bfloat16,
+        tokenizer=None,
+        allow_random: bool = False,
+        config: Optional[UniMoEAudioConfig] = None,
+        dac_weights: Optional[str] = None,
+        max_tokens: Optional[int] = None,
+        min_tokens: Optional[int] = None,
+    ):
+        del device_id  # JAX targets the default device; kept for API parity
+        self.MAX_TOKENS = max_tokens or UniMoEAudio.MAX_TOKENS
+        self.MIN_TOKENS = min_tokens or UniMoEAudio.MIN_TOKENS
+
+        self.config, self.params = self._load_model(
+            model_path, dtype=dtype, allow_random=allow_random, config=config
+        )
+        self.tokenizer = tokenizer or self._load_tokenizer(model_path)
+        self.dac = self._load_dac(model_path, dac_weights, allow_random)
+        self._compiled_shapes = set()
+
+    # ------------------------------------------------------------------
+    # Loading
+    # ------------------------------------------------------------------
+    def _load_model(self, model_path, *, dtype, allow_random, config):
+        if model_path is not None:
+            jax_blob = os.path.join(model_path, "model.jax.pkl")
+            if os.path.isfile(jax_blob):
+                with open(jax_blob, "rb") as f:
+                    blob = pickle.load(f)
+                cfg = UniMoEAudioConfig.from_dict(blob["config"])
+                params = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), blob["params"])
+                return cfg, params
+            cfg_json = os.path.join(model_path, "config.json")
+            if os.path.isfile(cfg_json):
+                cfg = UniMoEAudioConfig.from_json(cfg_json)
+                has_st = any(f.endswith(".safetensors") for f in os.listdir(model_path))
+                if has_st:
+                    from .core.convert import convert_model_state_dict, load_hf_safetensors
+
+                    sd = load_hf_safetensors(model_path)
+                    params = convert_model_state_dict(sd, cfg)
+                    params = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), params)
+                    return cfg, params
+                if allow_random:
+                    return cfg, init_model_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+            raise FileNotFoundError(
+                f"No model weights found under {model_path} (looked for "
+                "model.jax.pkl / *.safetensors)."
+            )
+        if not allow_random:
+            raise ValueError("model_path is required unless allow_random=True")
+        cfg = config or tiny_test_config()
+        return cfg, init_model_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    @staticmethod
+    def _load_tokenizer(model_path):
+        if model_path is None:
+            return None
+        try:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(model_path, padding_side="left")
+            assert all(len(tok([t]).input_ids[0]) == 1 for t in SPECIAL_TOKENS), (
+                "special tokens must each map to a single id "
+                "(reference: utils/UniMoE_Audio_mod.py:111-120)"
+            )
+            return tok
+        except Exception:
+            return None
+
+    def _load_dac(self, model_path, dac_weights, allow_random):
+        try:
+            from .codec.dac import DACConfig, tiny_dac_config
+
+            cfg = None
+            if allow_random and self.config.codec_channels != 12:
+                # Development mode with the tiny model config.
+                cfg = tiny_dac_config()
+                import dataclasses
+                cfg = dataclasses.replace(cfg, n_codebooks=self.config.codec_channels)
+            return Dac(dac_weights, allow_random=allow_random, config=cfg)
+        except FileNotFoundError:
+            return None
+
+    # ------------------------------------------------------------------
+    # Preprocessing
+    # ------------------------------------------------------------------
+    def _tokenize(self, texts: List[str]):
+        if self.tokenizer is None:
+            raise RuntimeError(
+                "No tokenizer available — pass tokenizer= or a model_path with "
+                "tokenizer files."
+            )
+        out = self.tokenizer(
+            texts, add_special_tokens=False, padding=True, return_tensors="np"
+        )
+        ids = np.asarray(out["input_ids"], dtype=np.int32)
+        mask = np.asarray(out["attention_mask"], dtype=np.int32)
+        # Bucket text length (LEFT padding — reference tokenizer is created
+        # with padding_side='left', utils/UniMoE_Audio_mod.py:102-105).
+        T = _bucket(ids.shape[1])
+        if T > ids.shape[1]:
+            pad_id = getattr(self.tokenizer, "pad_token_id", 0) or 0
+            pad = np.full((ids.shape[0], T - ids.shape[1]), pad_id, dtype=np.int32)
+            ids = np.concatenate([pad, ids], axis=1)
+            mask = np.concatenate([np.zeros_like(pad), mask], axis=1)
+        return ids, mask
+
+    def _preprocess_codec(self, codec) -> np.ndarray:
+        return dl.preprocess_codec(
+            np.asarray(codec),
+            delay_pattern=self.config.codec_delay_pattern,
+            num_channels=self.config.codec_channels,
+            bos_value=self.config.codec_bos_value,
+            eos_value=self.config.codec_eos_value,
+            pad_value=self.config.codec_pad_value,
+        )
+
+    # ------------------------------------------------------------------
+    # Core generation (reference: utils/UniMoE_Audio_mod.py:215-292)
+    # ------------------------------------------------------------------
+    def _generate_core(
+        self,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        codec_input_ids: Optional[np.ndarray],
+        save_name: str,
+        rebuild_codec=None,
+        output_dir: str = "./",
+        cfg_scale: float = 0.0,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        cfg_filter_top_k: int = 45,
+        eos_prob_mul_factor: float = 0.6,
+        do_sample: bool = True,
+        seed: Optional[int] = None,
+    ) -> List[str]:
+        cfg = self.config
+        batch_size = input_ids.shape[0] // 2
+
+        prefill, prefill_steps = dl.prepare_audio_prompt(
+            [None] * batch_size,
+            num_channels=cfg.codec_channels,
+            bos_value=cfg.codec_bos_value,
+            delay_pattern=cfg.codec_delay_pattern,
+        )
+        buf = pad_buffer(prefill, self.MAX_TOKENS)
+
+        aligned = None
+        if codec_input_ids is not None:
+            aligned = jnp.asarray(
+                align_codec_ids(input_ids, codec_input_ids, cfg.codec_placeholder_value)
+            )
+
+        rng = jax.random.PRNGKey(seed if seed is not None else int(time.time() * 1e3) % (2**31))
+        res = generate_jit(
+            self.params, cfg,
+            jnp.asarray(input_ids), jnp.asarray(attention_mask), aligned,
+            buf, jnp.asarray(prefill_steps, jnp.int32), rng,
+            max_tokens=self.MAX_TOKENS,
+            min_tokens=jnp.int32(self.MIN_TOKENS),
+            cfg_scale=jnp.float32(cfg_scale),
+            temperature=jnp.float32(temperature),
+            top_p=jnp.float32(top_p),
+            cfg_filter_top_k=cfg_filter_top_k,
+            eos_prob_mul_factor=jnp.float32(eos_prob_mul_factor),
+            do_sample=do_sample,
+        )
+
+        audios = dl.generate_output(
+            res.codes, res.lengths,
+            pad_value=cfg.codec_pad_value, delay_pattern=cfg.codec_delay_pattern,
+        )
+
+        os.makedirs(output_dir, exist_ok=True)
+        output_paths = []
+        for i, frames in enumerate(audios):
+            output_path = os.path.join(output_dir, f"generated_{save_name}_{i}.wav")
+            if self.dac is not None:
+                self.dac.decode(frames.T[None], save_path=output_path, min_duration=1)
+            else:
+                np.save(output_path + ".codes.npy", frames)
+                output_path += ".codes.npy"
+            output_paths.append(output_path)
+            if rebuild_codec is not None and self.dac is not None:
+                rebuild = np.asarray(rebuild_codec).T[None]
+                rebuild_path = os.path.join(output_dir, f"rebuild_{save_name}_{i}.wav")
+                self.dac.decode(rebuild, save_path=rebuild_path)
+        return output_paths
+
+    # ------------------------------------------------------------------
+    # Tasks
+    # ------------------------------------------------------------------
+    def text_to_music(
+        self,
+        caption: Union[str, List[str]],
+        save_name: str = "music",
+        rebuild_codec=None,
+        output_dir: str = "./",
+        cfg_scale: float = 10.0,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        cfg_filter_top_k: int = 45,
+        eos_prob_mul_factor: float = 0.6,
+        do_sample: bool = True,
+        seed: Optional[int] = None,
+        max_audio_seconds: Optional[int] = None,
+        min_audio_seconds: Optional[int] = None,
+        **_ignored,
+    ) -> List[str]:
+        """Text-to-music (reference: utils/UniMoE_Audio_mod.py:294-366;
+        max/min_audio_seconds aliases from the checkpoint variant,
+        UniMoE_Audio.py:156-170, at 50 frames/s)."""
+        if max_audio_seconds is not None:
+            self.MAX_TOKENS = int(max_audio_seconds * 50)
+        if min_audio_seconds is not None:
+            self.MIN_TOKENS = int(min_audio_seconds * 50)
+        caption = [caption] if isinstance(caption, str) else [c for c in caption if c.strip()]
+        if not caption or not all(c.strip() for c in caption):
+            print("Please enter a music description.")
+            return []
+
+        neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+            "<|MUSIC_START|>Low quality.<|MUSIC_END|>"
+        ) + AUDIO_START
+        text_input = []
+        for c in caption:
+            text_input.append(neg)
+            text_input.append(
+                SYSTEM_MESSAGE
+                + INPUT_FORMAT.format("<|MUSIC_START|>" + c + "<|MUSIC_END|>")
+                + AUDIO_START
+            )
+        ids, mask = self._tokenize(text_input)
+        return self._generate_core(
+            ids, mask, None, save_name, rebuild_codec, output_dir,
+            cfg_scale, temperature, top_p, cfg_filter_top_k,
+            eos_prob_mul_factor, do_sample, seed,
+        )
+
+    def text_to_speech(
+        self,
+        caption: Union[str, List[str]] = None,
+        prompt_text: str = None,
+        prompt_wav: Optional[str] = None,
+        save_name: str = "speech",
+        prompt_codec=None,
+        rebuild_codec=None,
+        output_dir: str = "./",
+        cfg_scale: float = 1.0,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        cfg_filter_top_k: int = 45,
+        eos_prob_mul_factor: float = 1.0,
+        do_sample: bool = True,
+        seed: Optional[int] = None,
+        transcription: Union[str, List[str], None] = None,
+        prompt_transcription: Optional[str] = None,
+        max_audio_seconds: Optional[int] = None,
+        min_audio_seconds: Optional[int] = None,
+        **_ignored,
+    ) -> List[str]:
+        """Voice-cloning TTS (reference: utils/UniMoE_Audio_mod.py:368-481;
+        transcription/prompt_transcription + max/min_audio_seconds are the
+        checkpoint-variant spellings, UniMoE_Audio.py:105-118)."""
+        caption = caption if caption is not None else transcription
+        prompt_text = prompt_text if prompt_text is not None else prompt_transcription
+        if max_audio_seconds is not None:
+            self.MAX_TOKENS = int(max_audio_seconds * 50)
+        if min_audio_seconds is not None:
+            self.MIN_TOKENS = int(min_audio_seconds * 50)
+        caption = [caption] if isinstance(caption, str) else [c for c in caption if c.strip()]
+        if not caption or not all(c.strip() for c in caption):
+            print("Please enter the target text.")
+            return []
+        if prompt_codec is None:
+            if prompt_wav is None:
+                print("Please provide a reference audio file.")
+                return []
+            if self.dac is None:
+                raise RuntimeError("DAC weights unavailable — cannot encode prompt_wav")
+            prompt_codec = self.dac.encode(prompt_wav)
+        if not str(prompt_text).strip():
+            print("Please enter the reference audio transcript.")
+            return []
+
+        codec_ids = self._preprocess_codec(prompt_codec)  # [P, C]
+        n_placeholder = codec_ids.shape[0]
+        prompt_caption = (
+            "<|SPEECH_PROMPT_START|>" + prompt_text + "<|SPEECH_PROMPT_END|>"
+            + "<|VOICE_PROMPT_START|>"
+            + "<|AUDIO_PLACEHOLDER|>" * n_placeholder
+            + "<|VOICE_PROMPT_END|>"
+        )
+
+        def with_target(x):
+            return prompt_caption + "<|SPEECH_START|>" + x + "<|SPEECH_END|>"
+
+        neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(with_target("")) + AUDIO_START
+        text_input = []
+        for c in caption:
+            text_input.append(neg)
+            text_input.append(SYSTEM_MESSAGE + INPUT_FORMAT.format(with_target(c)) + AUDIO_START)
+        ids, mask = self._tokenize(text_input)
+
+        # Flat codec rows repeated per CFG row (reference:
+        # utils/UniMoE_Audio_mod.py:466).
+        flat = np.tile(codec_ids, (len(text_input), 1))
+        return self._generate_core(
+            ids, mask, flat, save_name, rebuild_codec, output_dir,
+            cfg_scale, temperature, top_p, cfg_filter_top_k,
+            eos_prob_mul_factor, do_sample, seed,
+        )
+
+    def video_text_to_music(
+        self,
+        video: Union[str, List[str]],
+        caption: Union[str, List[str]],
+        save_name: str = "video_music",
+        rebuild_codec=None,
+        fps: int = 1,
+        sampling_fps: int = 1,
+        total_pixels: int = 3 * 28 * 28,
+        max_frames: Optional[int] = 1,
+        output_dir: str = "./",
+        cfg_scale: float = 10.0,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        cfg_filter_top_k: int = 45,
+        eos_prob_mul_factor: float = 0.6,
+        do_sample: bool = True,
+        seed: Optional[int] = None,
+        **_ignored,
+    ) -> List[str]:
+        """Video+text-to-music (reference: utils/UniMoE_Audio_mod.py:483-619).
+
+        Round-1 scope: the vision tower fuses video features when the model
+        has a vision config AND the processor is available; otherwise the
+        textual pipeline runs (captions only) with a warning.
+        """
+        video = [video] if isinstance(video, str) else video
+        caption = [caption] if isinstance(caption, str) else caption
+        assert len(video) == len(caption), "The number of videos and captions must match"
+
+        if self.config.vision_config is None:
+            print("[warning] model has no vision tower; generating from captions only")
+            return self.text_to_music(
+                caption, save_name=save_name, rebuild_codec=rebuild_codec,
+                output_dir=output_dir, cfg_scale=cfg_scale, temperature=temperature,
+                top_p=top_p, cfg_filter_top_k=cfg_filter_top_k,
+                eos_prob_mul_factor=eos_prob_mul_factor, do_sample=do_sample, seed=seed,
+            )
+
+        from .apps.video import extract_frames, frame_process  # lazy: needs cv2
+
+        neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+            DEFAULT_VIDEO_PROMPT.format("<|MUSIC_START|>Low quality.<|MUSIC_END|>")
+        ) + AUDIO_START
+        text_input, videos = [], []
+        for v, c in zip(video, caption):
+            text_input.append(neg)
+            text_input.append(
+                SYSTEM_MESSAGE + INPUT_FORMAT.format(
+                    DEFAULT_VIDEO_PROMPT.format("<|MUSIC_START|>" + c + "<|MUSIC_END|>")
+                ) + AUDIO_START
+            )
+            frames = extract_frames(v, sampling_fps, max_frames)
+            pixels = frame_process(frames, total_pixels=total_pixels, min_pixels=28 * 28)
+            videos.extend([pixels, pixels])
+
+        raise NotImplementedError(
+            "video feature fusion lands with the vision tower integration; "
+            "use a text-only model or text_to_music meanwhile"
+        )
+
+
+def create_unimoe_audio(model_path: str, device_id: int = 0) -> UniMoEAudio:
+    """Convenience constructor (reference: utils/UniMoE_Audio_mod.py:623-624)."""
+    return UniMoEAudio(model_path, device_id)
