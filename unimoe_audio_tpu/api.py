@@ -112,7 +112,9 @@ class UniMoEAudio:
         if not allow_random:
             raise ValueError("model_path is required unless allow_random=True")
         cfg = config or tiny_test_config()
-        return cfg, init_model_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+        return cfg, init_model_params(
+            jax.random.PRNGKey(0), cfg, dtype=dtype, with_vision=True
+        )
 
     @staticmethod
     def _load_tokenizer(model_path):
@@ -196,6 +198,9 @@ class UniMoEAudio:
         eos_prob_mul_factor: float = 0.6,
         do_sample: bool = True,
         seed: Optional[int] = None,
+        visual_embeds: Optional[np.ndarray] = None,
+        visual_mask: Optional[np.ndarray] = None,
+        prefill_position_ids: Optional[np.ndarray] = None,
     ) -> List[str]:
         cfg = self.config
         batch_size = input_ids.shape[0] // 2
@@ -219,6 +224,9 @@ class UniMoEAudio:
             self.params, cfg,
             jnp.asarray(input_ids), jnp.asarray(attention_mask), aligned,
             buf, jnp.asarray(prefill_steps, jnp.int32), rng,
+            jnp.asarray(visual_embeds) if visual_embeds is not None else None,
+            jnp.asarray(visual_mask) if visual_mask is not None else None,
+            jnp.asarray(prefill_position_ids) if prefill_position_ids is not None else None,
             max_tokens=self.MAX_TOKENS,
             min_tokens=jnp.int32(self.MIN_TOKENS),
             cfg_scale=jnp.float32(cfg_scale),
@@ -404,7 +412,7 @@ class UniMoEAudio:
         caption = [caption] if isinstance(caption, str) else caption
         assert len(video) == len(caption), "The number of videos and captions must match"
 
-        if self.config.vision_config is None:
+        if self.config.vision_config is None or "vision" not in self.params:
             print("[warning] model has no vision tower; generating from captions only")
             return self.text_to_music(
                 caption, save_name=save_name, rebuild_codec=rebuild_codec,
@@ -413,26 +421,71 @@ class UniMoEAudio:
                 eos_prob_mul_factor=eos_prob_mul_factor, do_sample=do_sample, seed=seed,
             )
 
-        from .apps.video import extract_frames, frame_process  # lazy: needs cv2
+        from .apps.video import extract_frames, frame_process, video_to_patches
+        from .models.model import get_rope_index
+        from .models.vision import vision_forward
 
-        neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-            DEFAULT_VIDEO_PROMPT.format("<|MUSIC_START|>Low quality.<|MUSIC_END|>")
-        ) + AUDIO_START
-        text_input, videos = [], []
+        vcfg = self.config.vision_config
+        m2 = vcfg.spatial_merge_size ** 2
+
+        text_input, all_feats, grids, spgts = [], [], [], []
         for v, c in zip(video, caption):
-            text_input.append(neg)
-            text_input.append(
-                SYSTEM_MESSAGE + INPUT_FORMAT.format(
-                    DEFAULT_VIDEO_PROMPT.format("<|MUSIC_START|>" + c + "<|MUSIC_END|>")
-                ) + AUDIO_START
+            if isinstance(v, str):
+                frames = extract_frames(v, sampling_fps, max_frames)
+                pixels = frame_process(frames, total_pixels=total_pixels,
+                                       min_pixels=28 * 28)
+            else:
+                pixels = np.asarray(v, dtype=np.float32)  # pre-extracted [T,3,H,W]
+            patches, grid = video_to_patches(
+                pixels, patch_size=vcfg.patch_size,
+                temporal_patch_size=vcfg.temporal_patch_size,
+                merge_size=vcfg.spatial_merge_size,
             )
-            frames = extract_frames(v, sampling_fps, max_frames)
-            pixels = frame_process(frames, total_pixels=total_pixels, min_pixels=28 * 28)
-            videos.extend([pixels, pixels])
+            feats = np.asarray(vision_forward(
+                self.params["vision"], jnp.asarray(patches), grid[None], vcfg
+            ))
+            n_tok = patches.shape[0] // m2
+            video_span = (
+                "<|vision_start|>" + "<|video_pad|>" * n_tok + "<|vision_end|>"
+            )
+            neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+                video_span + DEFAULT_VIDEO_PROMPT.format(
+                    "<|MUSIC_START|>Low quality.<|MUSIC_END|>")
+            ) + AUDIO_START
+            pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+                video_span + DEFAULT_VIDEO_PROMPT.format(
+                    "<|MUSIC_START|>" + c + "<|MUSIC_END|>")
+            ) + AUDIO_START
+            text_input.extend([neg, pos])
+            all_feats.extend([feats, feats])     # video repeated for the CFG pair
+            grids.extend([grid, grid])
+            spgts.extend([vcfg.temporal_patch_size / fps] * 2)
 
-        raise NotImplementedError(
-            "video feature fusion lands with the vision tower integration; "
-            "use a text-only model or text_to_music meanwhile"
+        ids, mask = self._tokenize(text_input)
+
+        # Scatter vision features at the video-token slots, row by row.
+        D = self.params["embed_tokens"].shape[-1]
+        visual_embeds = np.zeros((ids.shape[0], ids.shape[1], D), dtype=np.float32)
+        visual_mask = (ids == self.config.video_token_id).astype(np.int32)
+        for r in range(ids.shape[0]):
+            slots = np.where(visual_mask[r])[0]
+            assert len(slots) == all_feats[r].shape[0], (
+                f"video tokens {len(slots)} != features {all_feats[r].shape[0]}"
+            )
+            visual_embeds[r, slots] = all_feats[r]
+
+        position_ids, _ = get_rope_index(
+            ids, self.config, video_grid_thw=np.stack(grids),
+            second_per_grid_ts=spgts, attention_mask=mask,
+        )
+
+        return self._generate_core(
+            ids, mask, None, save_name, rebuild_codec, output_dir,
+            cfg_scale, temperature, top_p, cfg_filter_top_k,
+            eos_prob_mul_factor, do_sample, seed,
+            visual_embeds=visual_embeds,
+            visual_mask=visual_mask,
+            prefill_position_ids=position_ids,
         )
 
 

@@ -94,3 +94,39 @@ def frame_process(
         cv2.resize(f, (w, h), interpolation=cv2.INTER_CUBIC) for f in video
     ]).astype(np.float32)
     return out.transpose(0, 3, 1, 2)
+
+
+# OPENAI CLIP normalization (Qwen2VL image processor defaults).
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+
+
+def video_to_patches(video_tchw: np.ndarray, *, patch_size: int = 14,
+                     temporal_patch_size: int = 2, merge_size: int = 2):
+    """Frames [T, 3, H, W] (0..255 float) → (flattened patches
+    [S, 3·tps·ps·ps], grid_thw [3]).
+
+    Port of Qwen2VLImageProcessor patch layout: rescale + CLIP-normalize,
+    pad T to a temporal-patch multiple by repeating the last frame, then
+    flatten each (channel, temporal, ps, ps) patch with merged 2×2 groups
+    adjacent — the exact order the conv3d patch embed consumes, so the
+    matmul patch embed in models/vision.py is bit-equivalent.
+    """
+    v = video_tchw.astype(np.float32) / 255.0
+    v = (v - CLIP_MEAN[None, :, None, None]) / CLIP_STD[None, :, None, None]
+    T, C, H, W = v.shape
+    if T % temporal_patch_size:
+        reps = temporal_patch_size - T % temporal_patch_size
+        v = np.concatenate([v, np.repeat(v[-1:], reps, axis=0)], axis=0)
+        T = v.shape[0]
+    grid_t = T // temporal_patch_size
+    gh, gw = H // patch_size, W // patch_size
+    m = merge_size
+    patches = v.reshape(
+        grid_t, temporal_patch_size, C,
+        gh // m, m, patch_size,
+        gw // m, m, patch_size,
+    )
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = patches.reshape(grid_t * gh * gw, C * temporal_patch_size * patch_size ** 2)
+    return flat, np.array([grid_t, gh, gw], dtype=np.int64)

@@ -248,4 +248,8 @@ def tiny_test_config(
         codec_pad_value=codec_vocab_size - 2,
         codec_bos_value=codec_vocab_size - 1,
         codec_placeholder_value=vocab_size - 1,
+        vision_start_token_id=vocab_size - 2,
+        vision_end_token_id=vocab_size - 3,
+        video_token_id=vocab_size - 4,
+        image_token_id=vocab_size - 5,
     )

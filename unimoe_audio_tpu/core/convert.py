@@ -268,7 +268,54 @@ def convert_model_state_dict(sd: Dict[str, Any], cfg) -> Dict:
         ]),
         "codec_head": get("codec_head.weight", transpose=True),
     }
+    if cfg.vision_config is not None and "visual.patch_embed.proj.weight" in sd:
+        params["vision"] = convert_vision_state_dict(sd, cfg.vision_config)
     return params
+
+
+def convert_vision_state_dict(sd: Dict[str, Any], vcfg) -> Dict:
+    """visual.* weights → vision.py layout.
+
+    The conv3d patch embed [D, C, tps, ps, ps] flattens to a [C·tps·ps·ps, D]
+    matmul (kernel == stride ⇒ exact equivalence; replaces the reference's
+    Ascend Conv3D workaround, utils/UniMoE_Audio_utils.py:585-725)."""
+
+    def get(name, transpose=False):
+        t = _np(sd[name])
+        return t.T if transpose else t
+
+    def lin(prefix):
+        p = {"w": get(f"{prefix}.weight", transpose=True)}
+        if f"{prefix}.bias" in sd:
+            p["b"] = get(f"{prefix}.bias")
+        else:
+            p["b"] = np.zeros(p["w"].shape[-1], dtype=np.float32)
+        return p
+
+    pe = _np(sd["visual.patch_embed.proj.weight"])  # [D, C, tps, ps, ps]
+    blocks = []
+    for i in range(vcfg.depth):
+        b = f"visual.blocks.{i}"
+        blocks.append({
+            "norm1": get(f"{b}.norm1.weight"),
+            "norm2": get(f"{b}.norm2.weight"),
+            "qkv": lin(f"{b}.attn.qkv"),
+            "proj": lin(f"{b}.attn.proj"),
+            "mlp": {
+                "gate": lin(f"{b}.mlp.gate_proj"),
+                "up": lin(f"{b}.mlp.up_proj"),
+                "down": lin(f"{b}.mlp.down_proj"),
+            },
+        })
+    return {
+        "patch_embed": pe.reshape(pe.shape[0], -1).T,
+        "blocks": blocks,
+        "merger": {
+            "ln_q": get("visual.merger.ln_q.weight"),
+            "fc1": lin("visual.merger.mlp.0"),
+            "fc2": lin("visual.merger.mlp.2"),
+        },
+    }
 
 
 def load_hf_safetensors(model_dir: str) -> Dict[str, np.ndarray]:

@@ -64,6 +64,9 @@ def generate_jit(
     prefill_buf: jnp.ndarray,        # [B, buf_len, C] delayed prefill, -1 = open
     prefill_steps: jnp.ndarray,      # [B]
     rng: jax.Array,
+    visual_embeds: Optional[jnp.ndarray] = None,   # [2B, T_text, D]
+    visual_mask: Optional[jnp.ndarray] = None,     # [2B, T_text] 1 = vision slot
+    prefill_position_ids: Optional[jnp.ndarray] = None,  # [3, 2B, T_text] mRoPE
     *,
     max_tokens: int,
     min_tokens: jnp.ndarray,         # scalar int32
@@ -90,9 +93,19 @@ def generate_jit(
     inputs_embeds = calculate_input_embedding(
         params, input_ids, codec_input_ids, cfg.codec_placeholder_value
     )
-    pos = jnp.cumsum(attention_mask, axis=-1) - 1
-    pos = jnp.where(attention_mask == 0, 1, pos)
-    position_ids = jnp.broadcast_to(pos[None], (3, B2, T_text))
+    if visual_embeds is not None:
+        # Vision features scatter into their placeholder slots (reference:
+        # utils/UniMoE_Audio_model.py:730-751 masked_scatter).
+        inputs_embeds = jnp.where(
+            visual_mask[..., None] > 0, visual_embeds.astype(inputs_embeds.dtype),
+            inputs_embeds,
+        )
+    if prefill_position_ids is not None:
+        position_ids = prefill_position_ids
+    else:
+        pos = jnp.cumsum(attention_mask, axis=-1) - 1
+        pos = jnp.where(attention_mask == 0, 1, pos)
+        position_ids = jnp.broadcast_to(pos[None], (3, B2, T_text))
 
     cache = KVCache.create(
         tc.num_hidden_layers, B2, T_total, tc.num_key_value_heads, tc.head_dim,

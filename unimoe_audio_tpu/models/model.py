@@ -192,6 +192,96 @@ def align_codec_ids(input_ids, flat_codec_ids, placeholder_id):
     return out
 
 
+def get_rope_index(
+    input_ids: "np.ndarray",
+    cfg: UniMoEAudioConfig,
+    *,
+    image_grid_thw: "np.ndarray" = None,
+    video_grid_thw: "np.ndarray" = None,
+    second_per_grid_ts=None,
+    attention_mask: "np.ndarray" = None,
+):
+    """mRoPE position ids for text+vision sequences — host-side numpy.
+
+    Port of get_rope_index (reference: utils/UniMoE_Audio_model.py:513-638):
+    text tokens advance all 3 axes together; each vision span advances
+    (t, h, w) over its grid, with video time scaled by
+    second_per_grid_t · tokens_per_second.  Returns
+    (position_ids [3, B, T], rope_deltas [B, 1]).
+    """
+    import numpy as np
+
+    input_ids = np.asarray(input_ids)
+    B, T = input_ids.shape
+    if image_grid_thw is None and video_grid_thw is None:
+        if attention_mask is not None:
+            mask = np.asarray(attention_mask)
+            pos = np.cumsum(mask, axis=-1) - 1
+            pos = np.where(mask == 0, 1, pos)
+            position_ids = np.broadcast_to(pos[None], (3, B, T)).copy()
+            deltas = (position_ids.max(axis=0).max(axis=-1, keepdims=True) + 1 - T)
+            return position_ids, deltas
+        pos = np.broadcast_to(np.arange(T)[None], (B, T))
+        return np.broadcast_to(pos[None], (3, B, T)).copy(), np.zeros((B, 1), np.int64)
+
+    sms = cfg.vision_config.spatial_merge_size
+    tps = cfg.vision_config.tokens_per_second
+    if attention_mask is None:
+        attention_mask = np.ones_like(input_ids)
+    attention_mask = np.asarray(attention_mask)
+    position_ids = np.ones((3, B, T), dtype=np.int64)
+    deltas = []
+    img_i = vid_i = 0
+    for b in range(B):
+        ids = input_ids[b][attention_mask[b] == 1]
+        toks = ids.tolist()
+        vis_starts = np.where(ids == cfg.vision_start_token_id)[0]
+        vis_kinds = ids[vis_starts + 1] if len(vis_starts) else np.array([])
+        n_images = int((vis_kinds == cfg.image_token_id).sum())
+        n_videos = int((vis_kinds == cfg.video_token_id).sum())
+        parts = []
+        st = 0
+        remain_i, remain_v = n_images, n_videos
+        for _ in range(n_images + n_videos):
+            ed_img = toks.index(cfg.image_token_id, st) if (
+                cfg.image_token_id in toks[st:] and remain_i > 0) else len(toks) + 1
+            ed_vid = toks.index(cfg.video_token_id, st) if (
+                cfg.video_token_id in toks[st:] and remain_v > 0) else len(toks) + 1
+            if ed_img < ed_vid:
+                t, h, w = np.asarray(image_grid_thw)[img_i]
+                spgt = 0
+                img_i += 1
+                remain_i -= 1
+                ed = ed_img
+            else:
+                t, h, w = np.asarray(video_grid_thw)[vid_i]
+                if second_per_grid_ts is not None:
+                    spgt = second_per_grid_ts[vid_i]
+                else:
+                    spgt = 1.0
+                vid_i += 1
+                remain_v -= 1
+                ed = ed_vid
+            gt, gh, gw = int(t), int(h) // sms, int(w) // sms
+            text_len = ed - st
+            st_idx = parts[-1].max() + 1 if parts else 0
+            parts.append(np.broadcast_to(np.arange(text_len)[None], (3, text_len)) + st_idx)
+            t_idx = (np.arange(gt)[:, None] * spgt * tps).astype(np.int64)
+            t_idx = np.broadcast_to(t_idx, (gt, gh * gw)).reshape(-1)
+            h_idx = np.broadcast_to(np.arange(gh)[None, :, None], (gt, gh, gw)).reshape(-1)
+            w_idx = np.broadcast_to(np.arange(gw)[None, None, :], (gt, gh, gw)).reshape(-1)
+            parts.append(np.stack([t_idx, h_idx, w_idx]) + text_len + st_idx)
+            st = ed + gt * gh * gw
+        if st < len(toks):
+            st_idx = parts[-1].max() + 1 if parts else 0
+            text_len = len(toks) - st
+            parts.append(np.broadcast_to(np.arange(text_len)[None], (3, text_len)) + st_idx)
+        llm_pos = np.concatenate(parts, axis=1)
+        position_ids[:, b, attention_mask[b] == 1] = llm_pos
+        deltas.append(llm_pos.max() + 1 - len(input_ids[b]))
+    return position_ids, np.asarray(deltas)[:, None]
+
+
 def codec_logits_from_hidden(params: Dict, hidden: jnp.ndarray, cfg: UniMoEAudioConfig) -> jnp.ndarray:
     """[B, T, D] → [B, T, C, Vc] codec logits (fp32), reference:
     utils/UniMoE_Audio_model.py:818-819."""
@@ -304,8 +394,10 @@ def model_forward(
 # Parameter init
 # ---------------------------------------------------------------------------
 
-def init_model_params(rng: jax.Array, cfg: UniMoEAudioConfig, dtype=jnp.bfloat16) -> Dict:
-    """Random-init the full param pytree (layer-stacked)."""
+def init_model_params(rng: jax.Array, cfg: UniMoEAudioConfig, dtype=jnp.bfloat16,
+                      with_vision: bool = False) -> Dict:
+    """Random-init the full param pytree (layer-stacked).  The vision tower
+    is included when with_vision and cfg.vision_config is set."""
     tc = cfg.text_config
     L, Dm, V = tc.num_hidden_layers, tc.hidden_size, tc.vocab_size
     C, Vc = cfg.codec_channels, cfg.codec_embed_size
@@ -324,7 +416,7 @@ def init_model_params(rng: jax.Array, cfg: UniMoEAudioConfig, dtype=jnp.bfloat16
         "attn": stack_init(keys[0], lambda k: init_attention_params(k, tc, dtype)),
         "moe": stack_init(keys[1], lambda k: init_dcmoe_params(k, tc, dtype)),
     }
-    return {
+    params = {
         "embed_tokens": (jax.random.normal(keys[2], (V, Dm)) * std).astype(dtype),
         "layers": layers,
         "norm": jnp.ones((Dm,), dtype=dtype),
@@ -332,3 +424,8 @@ def init_model_params(rng: jax.Array, cfg: UniMoEAudioConfig, dtype=jnp.bfloat16
         "codec_embed": (jax.random.normal(keys[4], (C, Vc, Dm)) * std).astype(dtype),
         "codec_head": (jax.random.normal(keys[5], (Dm, C * Vc)) * Dm ** -0.5).astype(dtype),
     }
+    if with_vision and cfg.vision_config is not None:
+        from .vision import init_vision_params
+
+        params["vision"] = init_vision_params(keys[6], cfg.vision_config, dtype)
+    return params

@@ -88,6 +88,10 @@ def param_specs(cfg: UniMoEAudioConfig) -> Dict:
 def shard_params(params: Dict, mesh: Mesh, cfg: UniMoEAudioConfig) -> Dict:
     """Place a param pytree onto the mesh per param_specs."""
     specs = param_specs(cfg)
+    if "vision" in params:
+        # Vision tower (0.67B) replicates — it runs once per request.
+        specs = dict(specs)
+        specs["vision"] = jax.tree.map(lambda x: P(), params["vision"])
     # tree.map flattens `specs` up to `params`' treedef, so each P lands whole
     # at its matching array leaf.
     return jax.tree.map(
