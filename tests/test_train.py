@@ -1,0 +1,176 @@
+"""Training-stack tests: conversation tokenization/collator oracles,
+dense→MoE surgery slicing, trainer loop with checkpoint save/resume,
+text-label CE path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unimoe_audio_tpu.config import tiny_test_config
+from unimoe_audio_tpu.models.model import init_model_params, model_forward
+from unimoe_audio_tpu.train import data as TD
+from unimoe_audio_tpu.train.surgery import dense_ffn_to_experts, moeify_dense_params
+from unimoe_audio_tpu.train.trainer import Trainer, TrainerConfig
+
+
+class TinyTok:
+    eos_token = "</s>"
+    eos_token_id = 2
+    bos_token_id = None
+    pad_token_id = 0
+
+    def __call__(self, text, add_special_tokens=False):
+        if isinstance(text, list):
+            text = text[0]
+        ids = [3 + (hash(w) % 90) for w in text.replace("</s>", " </s> ").split()]
+        ids = [self.eos_token_id if text.replace(" ", "") == "</s>" else i for i in ids]
+        # map the literal eos word
+        ids = [self.eos_token_id if w == "</s>" else i
+               for i, w in zip(ids, text.replace("</s>", " </s> ").split())]
+
+        class R:  # mimic HF BatchEncoding.input_ids
+            input_ids = ids
+
+        return R
+
+
+def test_preprocess_supervised_masks_sources():
+    tok = TinyTok()
+    conv = [
+        {"from": "human", "value": "hello there"},
+        {"from": "gpt", "value": "general kenobi"},
+        {"from": "human", "value": "again"},
+        {"from": "gpt", "value": "reply two"},
+    ]
+    out = TD.preprocess_supervised(conv, tok)
+    ids, labels = out["input_ids"], out["labels"]
+    assert len(ids) == len(labels)
+    # System + source prefixes masked; assistant spans labeled.
+    assert (labels[: len(TD.SYSTEM_MESSAGE.split())] == TD.IGNORE_INDEX).all()
+    n_labeled = (labels != TD.IGNORE_INDEX).sum()
+    assert n_labeled >= 4  # two answers + eos tokens
+    # Every labeled position equals the input id there.
+    m = labels != TD.IGNORE_INDEX
+    np.testing.assert_array_equal(labels[m], ids[m])
+
+
+def test_collator_padding_and_aux_weight():
+    tok = TinyTok()
+    insts = [
+        {"input_ids": np.array([5, 6, 7]), "labels": np.array([-100, 6, 7])},
+        {"input_ids": np.array([8, 9]), "labels": np.array([-100, 9])},
+    ]
+    col = TD.Collator(pad_token_id=0, aux_balance_weight=10.0)
+    batch = col(insts)
+    assert batch["input_ids"].shape == (2, 3)
+    np.testing.assert_array_equal(batch["attention_mask"], [[1, 1, 1], [1, 1, 0]])
+    np.testing.assert_array_equal(
+        batch["aux_balance_weight"], [[1, 10, 10], [1, 10, 1]]
+    )
+
+
+def test_expand_image_tokens():
+    conv = [{"from": "human", "value": "look <|image_pad|> here"},
+            {"from": "gpt", "value": "ok"}]
+    out = TD.expand_image_tokens(conv, 3, prepend_prompt=False)
+    assert out[0]["value"].count("<|image_pad|>") == 3
+    out2 = TD.expand_image_tokens(
+        [{"from": "human", "value": "desc"}, {"from": "gpt", "value": "ok"}], 2)
+    assert out2[0]["value"].startswith("<|vision_start|>")
+
+
+def test_dense_ffn_to_experts_rotating_slices():
+    cfg = tiny_test_config(
+        dynamic_intermediate_size=8, shared_intermediate_size=4,
+        mlp_dynamic_expert_num=4,
+    ).text_config
+    D, F = cfg.hidden_size, 16  # F/Fd = 2 → offsets rotate 0,8,0,8
+    rng = np.random.default_rng(0)
+    dense = {
+        "gate": rng.normal(size=(D, F)).astype(np.float32),
+        "up": rng.normal(size=(D, F)).astype(np.float32),
+        "down": rng.normal(size=(F, D)).astype(np.float32),
+    }
+    out = dense_ffn_to_experts(dense, cfg, moe_copy="all")
+    assert out["dynamic"]["gate"].shape == (4, D, 8)
+    np.testing.assert_array_equal(out["dynamic"]["gate"][0], dense["gate"][:, :8])
+    np.testing.assert_array_equal(out["dynamic"]["gate"][1], dense["gate"][:, 8:])
+    np.testing.assert_array_equal(out["dynamic"]["gate"][2], dense["gate"][:, :8])
+    np.testing.assert_array_equal(out["dynamic"]["down"][1], dense["down"][8:, :])
+    # Fixed experts take the leading slice.
+    np.testing.assert_array_equal(out["fixed"]["gate"][1], dense["gate"][:, :4])
+
+    single = dense_ffn_to_experts(dense, cfg, moe_copy="single")
+    np.testing.assert_array_equal(single["dynamic"]["gate"][0], dense["gate"][:, :8])
+    assert not np.allclose(single["dynamic"]["gate"][1], dense["gate"][:, 8:])
+
+
+def test_moeify_dense_params_structure():
+    cfg = tiny_test_config(
+        dynamic_intermediate_size=64, shared_intermediate_size=32,
+    )
+    tc = cfg.text_config
+    ref = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    L, D = tc.num_hidden_layers, tc.hidden_size
+    F = tc.intermediate_size
+    dense = {k: v for k, v in ref.items() if k != "layers"}
+    dense["layers"] = {k: v for k, v in ref["layers"].items() if k != "moe"}
+    rng = np.random.default_rng(1)
+    dense["layers"]["mlp"] = {
+        "gate": rng.normal(size=(L, D, F)).astype(np.float32),
+        "up": rng.normal(size=(L, D, F)).astype(np.float32),
+        "down": rng.normal(size=(L, F, D)).astype(np.float32),
+    }
+    out = moeify_dense_params(dense, tc, dtype=jnp.float32)
+    ref_shapes = jax.tree.map(lambda a: tuple(a.shape), ref)
+    got_shapes = jax.tree.map(lambda a: tuple(a.shape), out)
+    assert ref_shapes == got_shapes
+    # Forward runs on the surgically-initialized params.
+    ids = jnp.ones((1, 6), dtype=jnp.int32)
+    res = model_forward(out, cfg, ids)
+    assert np.isfinite(np.asarray(res.codec_logits)).all()
+
+
+def test_trainer_loop_and_resume(tmp_path):
+    cfg = tiny_test_config()
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    tcfg = TrainerConfig(
+        learning_rate=1e-3, total_steps=6, warmup_steps=1, log_every=1,
+        save_every=2, ckpt_dir=str(tmp_path / "ckpt"), remat=False,
+    )
+    tr = Trainer(cfg, params, tcfg)
+
+    rng = np.random.default_rng(0)
+    C = cfg.codec_channels
+
+    def batches(n):
+        for _ in range(n):
+            codec = rng.integers(0, cfg.codec_eos_value, size=(2, 8, C))
+            yield {
+                "input_ids": np.full((2, 8), cfg.codec_placeholder_value, np.int32),
+                "codec_input_ids": codec.astype(np.int32),
+                "attention_mask": np.ones((2, 8), np.int32),
+                "codec_labels": codec.astype(np.int32),
+            }
+
+    hist = tr.fit(batches(4))
+    assert len(hist) == 4
+    assert int(tr.state.step) == 4
+
+    # Resume continues from the saved step.
+    tr2 = Trainer(cfg, params, tcfg)
+    start = tr2.maybe_resume()
+    assert start == 4
+    hist2 = tr2.fit(batches(2))
+    assert int(tr2.state.step) == 6
+
+
+def test_text_label_ce_path():
+    cfg = tiny_test_config()
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(0).integers(3, 100, size=(2, 10)))
+    labels = ids.at[:, :4].set(-100)
+    out = model_forward(params, cfg, ids, labels=labels, aux_loss_weight=0.025)
+    assert np.isfinite(float(out.loss))
+    assert out.logits is not None

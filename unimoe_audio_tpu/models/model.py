@@ -310,6 +310,7 @@ def model_forward(
     position_ids: Optional[jnp.ndarray] = None,      # [3, B, T]
     inputs_embeds: Optional[jnp.ndarray] = None,
     codec_labels: Optional[jnp.ndarray] = None,      # [B, T, C], -100 = ignore
+    labels: Optional[jnp.ndarray] = None,            # [B, T] text labels, -100 = ignore
     aux_balance_weight: Optional[jnp.ndarray] = None,
     aux_loss_weight: float = 0.0,
     training: bool = False,
@@ -357,13 +358,24 @@ def model_forward(
     hidden = out.last_hidden_state
 
     logits = None
-    if compute_lm_logits:
+    if compute_lm_logits or labels is not None:
         logits = (hidden @ params["lm_head"].astype(hidden.dtype)).astype(jnp.float32)
     codec_logits = codec_logits_from_hidden(params, hidden, cfg)
 
     loss = None
     codec_loss = None
     mean_aux = jnp.mean(out.aux_loss)
+    if labels is not None:
+        # Next-token CE on text labels (the V2 training twin's objective,
+        # reference: UniMoEV2-Preview/training/Models/UniMoEV2.py:1151-1163).
+        shift_logits = logits[:, :-1]
+        shift_labels = labels[:, 1:]
+        valid = shift_labels != -100
+        safe = jnp.where(valid, shift_labels, 0)
+        logp = jax.nn.log_softmax(shift_logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        lm_loss = jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+        loss = lm_loss + aux_loss_weight * mean_aux
     if codec_labels is not None:
         # Per-channel shifted CE; empty channels (all -100) contribute 0
         # (reference skips them, utils/UniMoE_Audio_model.py:830-845 —
@@ -377,7 +389,7 @@ def model_forward(
         nll = jnp.where(valid, nll, 0.0)
         per_channel = jnp.sum(nll, axis=(0, 1)) / jnp.maximum(jnp.sum(valid, axis=(0, 1)), 1)
         codec_loss = jnp.sum(per_channel)
-        loss = codec_loss + aux_loss_weight * mean_aux
+        loss = (loss if loss is not None else aux_loss_weight * mean_aux) + codec_loss
 
     return ModelOutput(
         loss=loss,

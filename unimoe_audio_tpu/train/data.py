@@ -1,0 +1,214 @@
+"""Training data pipeline: conversation tokenization + batch collation.
+
+Port of the reference's DataLoaders (reference:
+UniMoEV2-Preview/training/DataLoaders/datasets_utils.py:82-164 and
+qwen2vl_datasets.py:74-202) in pure numpy — no torch Dataset machinery;
+JAX training consumes numpy batches directly.
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+IGNORE_INDEX = -100
+DEFAULT_IMAGE_TOKEN = "<|image_pad|>"
+DEFAULT_IMAGE_PROMPT = "<|vision_start|><|image_pad|><|vision_end|>{}"
+SYSTEM_MESSAGE = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+INPUT_FORMAT = "<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n"
+
+
+def tokenizer_image_token(
+    prompt: str, tokenizer, image_token: str, image_token_index: int,
+    add_special_tokens: bool = True,
+) -> List[int]:
+    """Tokenize text around image tokens, splicing the image id between
+    chunks (reference: datasets_utils.py:23-43)."""
+    chunks = [
+        tokenizer(chunk, add_special_tokens=add_special_tokens).input_ids
+        for chunk in prompt.split(image_token)
+    ]
+    # HF returns [[ids]] for str input in some tokenizers; normalize.
+    chunks = [c[0] if c and isinstance(c[0], list) else c for c in chunks]
+
+    input_ids: List[int] = []
+    offset = 0
+    bos = getattr(tokenizer, "bos_token_id", None)
+    if chunks and chunks[0] and bos is not None and chunks[0][0] == bos:
+        offset = 1
+        input_ids.append(chunks[0][0])
+    sep = [image_token_index] * (offset + 1)
+    merged: List[List[int]] = []
+    for i, c in enumerate(chunks):
+        merged.append(c)
+        if i != len(chunks) - 1:
+            merged.append(sep)
+    for x in merged:
+        input_ids.extend(x[offset:])
+    return input_ids
+
+
+def preprocess_supervised(
+    conversation: List[Dict[str, str]],
+    tokenizer,
+    *,
+    image_token: str = DEFAULT_IMAGE_TOKEN,
+    image_token_index: int = 151655,
+    label_ignore_index: int = IGNORE_INDEX,
+    system_message: str = SYSTEM_MESSAGE,
+    input_format: str = INPUT_FORMAT,
+    has_image: bool = False,
+    model_max_length: Optional[int] = None,
+    adding_sys_in_query: bool = False,
+) -> Dict[str, np.ndarray]:
+    """conversation [{from: human|gpt, value}] → (input_ids, labels) with
+    source masking (reference: datasets_utils.py:82-164)."""
+    human_role, ai_role = "human", "gpt"
+    assert conversation[0]["from"] == human_role
+
+    sources, targets = [], []
+    eos = getattr(tokenizer, "eos_token", "") or ""
+    for i, message in enumerate(conversation):
+        role, value = message["from"], message["value"]
+        assert role == (ai_role if i % 2 else human_role)
+        if i == 0 and adding_sys_in_query:
+            value = system_message + value
+        if i % 2 == 0:
+            sources.append(input_format.format(value))
+        else:
+            targets.append(value + eos)
+
+    def encode(text):
+        if has_image:
+            return tokenizer_image_token(
+                text, tokenizer, image_token=image_token,
+                image_token_index=image_token_index, add_special_tokens=False,
+            )
+        out = tokenizer(text, add_special_tokens=False).input_ids
+        return out[0] if out and isinstance(out[0], list) else out
+
+    input_ids: List[int] = []
+    labels: List[int] = []
+    bos = getattr(tokenizer, "bos_token_id", None)
+    if bos is not None:
+        input_ids.append(bos)
+        labels.append(label_ignore_index)
+    if not adding_sys_in_query:
+        input_ids = encode(system_message)
+        labels = [label_ignore_index] * len(input_ids)
+
+    for source, target in zip(sources, targets):
+        if source and source[-1] in ("\n", "\t", " "):
+            full = source + target.strip()
+        else:
+            full = source + " " + target.strip()
+        source_ids = encode(source)
+        full_ids = encode(full)
+        input_ids += full_ids
+        labels += [label_ignore_index] * len(source_ids) + full_ids[len(source_ids):]
+
+    if model_max_length is not None and len(input_ids) >= model_max_length:
+        input_ids = input_ids[:model_max_length]
+        labels = labels[:model_max_length]
+
+    labels_arr = np.asarray(labels, dtype=np.int64)
+    if has_image:
+        assert not ((labels_arr == image_token_index) & (labels_arr != label_ignore_index)).any()
+    return {
+        "input_ids": np.asarray(input_ids, dtype=np.int64),
+        "labels": labels_arr,
+    }
+
+
+def expand_image_tokens(conversation: List[Dict], n_tokens: int,
+                        image_token: str = DEFAULT_IMAGE_TOKEN,
+                        prepend_prompt: bool = True) -> List[Dict]:
+    """Expand each <|image_pad|> to n_tokens copies; wrap turn 0 in the
+    vision prompt (reference: qwen2vl_datasets.py:134-144)."""
+    conversation = copy.deepcopy(conversation)
+    for i, turn in enumerate(conversation):
+        sentence = turn["value"]
+        if i == 0 and prepend_prompt:
+            sentence = DEFAULT_IMAGE_PROMPT.format(sentence)
+        while image_token in sentence:
+            sentence = sentence.replace(image_token, "<|placeholder|>" * n_tokens, 1)
+        sentence = sentence.replace("<|placeholder|>", image_token)
+        turn["value"] = sentence
+    return conversation
+
+
+@dataclass
+class Collator:
+    """Pad + mask + aux_balance_weight (reference:
+    qwen2vl_datasets.py:168-202).  aux weight is 1 everywhere, N on label
+    positions — output tokens get N× emphasis in the balancing loss
+    (training.sh sets N=10)."""
+
+    pad_token_id: int
+    aux_balance_weight: Optional[float] = None
+    model_max_length: Optional[int] = None
+
+    def __call__(self, instances: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        T = max(len(x["input_ids"]) for x in instances)
+        if self.model_max_length is not None:
+            T = min(T, self.model_max_length)
+        B = len(instances)
+        input_ids = np.full((B, T), self.pad_token_id, dtype=np.int64)
+        labels = np.full((B, T), IGNORE_INDEX, dtype=np.int64)
+        for i, inst in enumerate(instances):
+            n = min(len(inst["input_ids"]), T)
+            input_ids[i, :n] = inst["input_ids"][:n]
+            labels[i, :n] = inst["labels"][:n]
+        batch = {
+            "input_ids": input_ids,
+            "labels": labels,
+            "attention_mask": (input_ids != self.pad_token_id).astype(np.int64),
+        }
+        if self.aux_balance_weight is not None:
+            abw = np.ones_like(input_ids, dtype=np.float32)
+            abw[labels != IGNORE_INDEX] = self.aux_balance_weight
+            batch["aux_balance_weight"] = abw
+        for key in ("pixel_values", "image_grid_thw"):
+            vals = [inst[key] for inst in instances if key in inst]
+            if vals:
+                batch[key] = np.concatenate(vals, axis=0)
+        return batch
+
+
+class ConversationDataset:
+    """Lazy map over an HF-datasets arrow dir or a list of dicts (reference:
+    LazySupervisedDataset, qwen2vl_datasets.py:74-165)."""
+
+    def __init__(self, data, tokenizer, *, shuffle_seed: int = 233,
+                 image_token_index: int = 151655,
+                 model_max_length: Optional[int] = 4096,
+                 data_sample: Optional[int] = None):
+        if isinstance(data, str):
+            import datasets as hfds
+
+            data = hfds.load_from_disk(data)
+            data = data.shuffle(seed=shuffle_seed)
+        self.data = data
+        self.tokenizer = tokenizer
+        self.image_token_index = image_token_index
+        self.model_max_length = model_max_length
+        if data_sample is not None:
+            self.data = self.data.select(range(min(data_sample, len(self.data))))
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, i) -> Dict[str, np.ndarray]:
+        src = self.data[i]
+        has_image = src.get("image_path") is not None
+        conversations = src["conversations"]
+        return preprocess_supervised(
+            conversations, self.tokenizer,
+            image_token_index=self.image_token_index,
+            has_image=has_image,
+            model_max_length=self.model_max_length,
+        )

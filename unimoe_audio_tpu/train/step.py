@@ -92,7 +92,8 @@ def loss_fn(
         params, cfg, batch["input_ids"],
         codec_input_ids=batch.get("codec_input_ids"),
         attention_mask=batch.get("attention_mask"),
-        codec_labels=batch["codec_labels"],
+        codec_labels=batch.get("codec_labels"),
+        labels=batch.get("labels"),
         aux_balance_weight=batch.get("aux_balance_weight"),
         aux_loss_weight=aux_weight,
         training=True,
@@ -102,7 +103,7 @@ def loss_fn(
     )
     metrics = {
         "loss": out.loss,
-        "codec_loss": out.codec_loss,
+        "codec_loss": out.codec_loss if out.codec_loss is not None else jnp.float32(0),
         "aux_loss": out.aux_loss,
         "mean_top_k": jnp.mean(out.router_top_k.astype(jnp.float32)),
     }

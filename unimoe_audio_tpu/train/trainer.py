@@ -1,0 +1,132 @@
+"""Training driver: epoch/step loop, metrics, checkpoint/resume.
+
+Replaces MoETrainer (reference: UniMoEV2-Preview/training/moe_trainer.py:
+288-809) — no DeepSpeed engine: the jitted train step carries the sharded
+params/optimizer state; orbax handles save/resume (incl. step counter so
+resume continues the aux-weight decay schedule, the reference's
+deepspeed_load_checkpoint path at moe_trainer.py:510-518).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import UniMoEAudioConfig
+from ..core.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .step import TrainState, init_train_state, make_optimizer, train_step
+
+
+@dataclass
+class TrainerConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    warmup_steps: int = 100
+    total_steps: int = 10000
+    schedule: str = "cosine"
+    grad_clip: float = 1.0
+    log_every: int = 10
+    save_every: int = 500
+    ckpt_dir: Optional[str] = None
+    max_to_keep: int = 3
+    dispatch_mode: str = "dense"
+    remat: bool = True
+    seed: int = 0
+
+
+class MetricsLogger:
+    """stdout + optional JSONL metrics sink (the reference logs losses to
+    wandb inside model.forward, utils/UniMoE_Audio_model.py:849-854; here
+    logging lives outside the compiled step)."""
+
+    def __init__(self, jsonl_path: Optional[str] = None):
+        self.jsonl_path = jsonl_path
+        self._fh = open(jsonl_path, "a") if jsonl_path else None
+
+    def log(self, step: int, metrics: Dict[str, Any]) -> None:
+        flat = {k: float(v) for k, v in metrics.items()}
+        msg = ", ".join(f"{k}: {v:.4g}" for k, v in flat.items())
+        print(f"step {step}: {msg}")
+        if self._fh:
+            import json
+
+            self._fh.write(json.dumps({"step": step, **flat}) + "\n")
+            self._fh.flush()
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: UniMoEAudioConfig,
+        params: Dict,
+        tcfg: TrainerConfig,
+        *,
+        logger: Optional[MetricsLogger] = None,
+    ):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.optimizer = make_optimizer(
+            learning_rate=tcfg.learning_rate,
+            weight_decay=tcfg.weight_decay,
+            warmup_steps=tcfg.warmup_steps,
+            total_steps=tcfg.total_steps,
+            schedule=tcfg.schedule,
+            grad_clip=tcfg.grad_clip,
+        )
+        self.state = init_train_state(params, self.optimizer)
+        self.logger = logger or MetricsLogger()
+        self._step_fn = jax.jit(
+            lambda s, b, r: train_step(
+                s, b, r, cfg=cfg, optimizer=self.optimizer,
+                dispatch_mode=tcfg.dispatch_mode, remat=tcfg.remat,
+            ),
+            donate_argnums=(0,),
+        )
+        self.rng = jax.random.PRNGKey(tcfg.seed)
+
+    # -- checkpointing ---------------------------------------------------
+    def maybe_resume(self) -> int:
+        if not self.tcfg.ckpt_dir:
+            return 0
+        step = latest_step(self.tcfg.ckpt_dir)
+        if step is None:
+            return 0
+        self.state = restore_checkpoint(self.tcfg.ckpt_dir, self.state, step)
+        print(f"resumed from checkpoint step {step}")
+        return int(step)
+
+    def save(self) -> None:
+        if self.tcfg.ckpt_dir:
+            save_checkpoint(
+                self.tcfg.ckpt_dir, int(self.state.step), self.state,
+                max_to_keep=self.tcfg.max_to_keep,
+            )
+
+    # -- training --------------------------------------------------------
+    def fit(self, batches: Iterable[Dict[str, np.ndarray]],
+            max_steps: Optional[int] = None) -> List[Dict[str, float]]:
+        start = self.maybe_resume()
+        history = []
+        t0 = time.time()
+        for i, batch in enumerate(batches):
+            step_no = int(self.state.step)
+            if max_steps is not None and step_no >= max_steps:
+                break
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.state, metrics = self._step_fn(self.state, batch, self.rng)
+            if step_no % self.tcfg.log_every == 0:
+                jax.block_until_ready(metrics["loss"])
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["steps_per_sec"] = (i + 1) / (time.time() - t0)
+                self.logger.log(step_no, metrics)
+                history.append({"step": step_no, **metrics})
+            if self.tcfg.save_every and step_no > 0 and step_no % self.tcfg.save_every == 0:
+                self.save()
+        self.save()
+        return history
