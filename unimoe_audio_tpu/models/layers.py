@@ -111,12 +111,14 @@ def attention(
       * cache: writes k/v at cache_position, attends over the full cache
         masked by kv_valid_mask (precomputed length mask).
     """
+    from ..ops.quant import matmul
+
     B, T, Dm = x.shape
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    q = (x @ params["q_proj"]["w"] + params["q_proj"]["b"]).reshape(B, T, H, Dh)
-    k = (x @ params["k_proj"]["w"] + params["k_proj"]["b"]).reshape(B, T, KV, Dh)
-    v = (x @ params["v_proj"]["w"] + params["v_proj"]["b"]).reshape(B, T, KV, Dh)
+    q = (matmul(x, params["q_proj"]["w"]) + params["q_proj"]["b"]).reshape(B, T, H, Dh)
+    k = (matmul(x, params["k_proj"]["w"]) + params["k_proj"]["b"]).reshape(B, T, KV, Dh)
+    v = (matmul(x, params["v_proj"]["w"]) + params["v_proj"]["b"]).reshape(B, T, KV, Dh)
     q, k = apply_rope(q, k, cos, sin)
 
     if cache_kv is not None:
@@ -147,7 +149,7 @@ def attention(
 
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     out = jnp.einsum("bkgts,bskd->btkgd", probs, v_all.astype(x.dtype)).reshape(B, T, H * Dh)
-    out = out @ params["o_proj"]["w"]
+    out = matmul(out, params["o_proj"]["w"])
     return out, cache_kv
 
 

@@ -285,7 +285,9 @@ def get_rope_index(
 def codec_logits_from_hidden(params: Dict, hidden: jnp.ndarray, cfg: UniMoEAudioConfig) -> jnp.ndarray:
     """[B, T, D] → [B, T, C, Vc] codec logits (fp32), reference:
     utils/UniMoE_Audio_model.py:818-819."""
-    flat = (hidden @ params["codec_head"].astype(hidden.dtype)).astype(jnp.float32)
+    from ..ops.quant import matmul as qmm
+
+    flat = qmm(hidden, params["codec_head"]).astype(jnp.float32)
     B, T = hidden.shape[:2]
     return flat.reshape(B, T, cfg.codec_channels, cfg.codec_embed_size)
 
@@ -359,7 +361,9 @@ def model_forward(
 
     logits = None
     if compute_lm_logits or labels is not None:
-        logits = (hidden @ params["lm_head"].astype(hidden.dtype)).astype(jnp.float32)
+        from ..ops.quant import matmul as qmm
+
+        logits = qmm(hidden, params["lm_head"]).astype(jnp.float32)
     codec_logits = codec_logits_from_hidden(params, hidden, cfg)
 
     loss = None

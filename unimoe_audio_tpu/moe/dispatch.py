@@ -37,17 +37,22 @@ def swiglu_expert_ffn(x_ecd: jnp.ndarray, params: Dict[str, jnp.ndarray]) -> jnp
 
     Mirrors AudioDynamicExpertMLP (reference: utils/UniMoE_Audio_core.py:34-49)
     batched over the expert dim so every projection is one MXU matmul.
+    Accepts raw or int8-quantized weights (ops.quant).
     """
-    g = jnp.einsum("ecd,edf->ecf", x_ecd, params["gate"])
-    u = jnp.einsum("ecd,edf->ecf", x_ecd, params["up"])
+    from ..ops.quant import expert_einsum
+
+    g = expert_einsum("ecd,edf->ecf", x_ecd, params["gate"])
+    u = expert_einsum("ecd,edf->ecf", x_ecd, params["up"])
     h = jax.nn.silu(g) * u
-    return jnp.einsum("ecf,efd->ecd", h, params["down"])
+    return expert_einsum("ecf,efd->ecd", h, params["down"])
 
 
 def swiglu_ffn(x_sd: jnp.ndarray, params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """Single-expert SwiGLU FFN: [S, D] → [S, D] with params [D, F]/[F, D]."""
-    h = jax.nn.silu(x_sd @ params["gate"]) * (x_sd @ params["up"])
-    return h @ params["down"]
+    from ..ops.quant import matmul
+
+    h = jax.nn.silu(matmul(x_sd, params["gate"])) * matmul(x_sd, params["up"])
+    return matmul(h, params["down"])
 
 
 def moe_ffn_dense(
@@ -64,8 +69,10 @@ def moe_ffn_dense(
     (reference: utils/UniMoE_Audio_core.py:446-493) because the packed
     dispatch there zeroes non-selected slots before combining.
     """
+    from ..ops.quant import wshape
+
     w = router_weight * expert_mask.astype(router_weight.dtype)  # [S, E]
-    x = jnp.broadcast_to(hidden[None], (params["gate"].shape[0],) + hidden.shape)
+    x = jnp.broadcast_to(hidden[None], (wshape(params["gate"])[0],) + hidden.shape)
     y = swiglu_expert_ffn(x, params)  # [E, S, D]
     return jnp.einsum("se,esd->sd", w.astype(y.dtype), y)
 
@@ -154,8 +161,10 @@ def moe_ffn_ep(
     `capacity` must already be the pmax-synced global capacity; use
     `ep_capacity` below.
     """
+    from ..ops.quant import wshape
+
     ep = jax.lax.axis_size(axis_name)
-    E_local = params["gate"].shape[0]
+    E_local = wshape(params["gate"])[0]
     E = E_local * ep
 
     packed, _, pos = pack_by_expert(hidden, expert_mask, capacity)  # [E, cap, D]

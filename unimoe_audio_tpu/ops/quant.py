@@ -1,0 +1,138 @@
+"""Int8 weight-only quantization for the serving path.
+
+AR decode at this model size is HBM-bandwidth-bound: every step streams the
+touched weights once (measured ~16 ms/step ≈ 13 GB bf16 / 819 GB/s on v5e).
+Storing weights int8 with per-output-channel scales halves the stream;
+XLA fuses the int8→bf16 convert into the matmul operand read, so MXU work
+is unchanged.
+
+Quantization: symmetric per-output-channel
+  w[..., d, f] ≈ q[..., d, f] · s[..., 1, f],  q ∈ int8, s = max|w|/127.
+
+Matmul identity used everywhere:  x @ (q·s) == (x @ q) · s  (s per column).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+class QTensor(NamedTuple):
+    """int8 weight + per-output-channel scale (last dim)."""
+
+    q: jnp.ndarray   # int8, same shape as original
+    s: jnp.ndarray   # f32, shape [..., 1, out]
+
+
+WeightLike = Union[jnp.ndarray, QTensor]
+
+
+def quantize_tensor(w: jnp.ndarray) -> QTensor:
+    """Per-output-channel symmetric int8 quantization (last dim = out)."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)  # reduce the in-dim
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+    return QTensor(q=q, s=s)
+
+
+def wshape(w: WeightLike):
+    """Shape of a raw or quantized weight."""
+    return w.q.shape if isinstance(w, QTensor) else w.shape
+
+
+def matmul(x: jnp.ndarray, w: WeightLike) -> jnp.ndarray:
+    """x @ w for raw or quantized weights ([..., D, F] layouts)."""
+    if isinstance(w, QTensor):
+        y = x @ w.q.astype(x.dtype)
+        return y * w.s.astype(x.dtype)
+    return x @ w.astype(x.dtype)
+
+
+def expert_einsum(spec: str, x: jnp.ndarray, w: WeightLike) -> jnp.ndarray:
+    """einsum('ecd,edf->ecf'-style) for raw or quantized expert weights."""
+    if isinstance(w, QTensor):
+        y = jnp.einsum(spec, x, w.q.astype(x.dtype))
+        return y * w.s.astype(x.dtype)
+    return jnp.einsum(spec, x, w.astype(x.dtype))
+
+
+_QUANT_PATHS = (
+    ("layers", "attn", "q_proj", "w"),
+    ("layers", "attn", "k_proj", "w"),
+    ("layers", "attn", "v_proj", "w"),
+    ("layers", "attn", "o_proj", "w"),
+    ("layers", "moe", "dynamic", "gate"),
+    ("layers", "moe", "dynamic", "up"),
+    ("layers", "moe", "dynamic", "down"),
+    ("layers", "moe", "fixed", "gate"),
+    ("layers", "moe", "fixed", "up"),
+    ("layers", "moe", "fixed", "down"),
+    ("codec_head",),
+    ("lm_head",),
+)
+
+
+def quantize_model_params(params: Dict) -> Dict:
+    """Quantize the bandwidth-dominant weights (attention projections,
+    expert FFNs, output heads).  Router gate, norms, biases, and embeddings
+    stay full precision."""
+
+    def set_path(tree, path, value):
+        node = tree
+        for key in path[:-1]:
+            node = node[key]
+        node[path[-1]] = value
+
+    def get_path(tree, path):
+        node = tree
+        for key in path:
+            node = node[key]
+        return node
+
+    def copy_containers(t):
+        if isinstance(t, dict):
+            return {k: copy_containers(v) for k, v in t.items()}
+        if isinstance(t, list):
+            return [copy_containers(v) for v in t]
+        return t  # array leaves shared, not copied
+
+    out = copy_containers(params)
+    for path in _QUANT_PATHS:
+        try:
+            w = get_path(out, path)
+        except (KeyError, TypeError):
+            continue
+        set_path(out, path, quantize_tensor(w))
+    return out
+
+
+def quantize_model_params_inplace(params: Dict) -> Dict:
+    """Streaming variant for HBM-tight conversion: quantizes leaf by leaf,
+    dropping each full-precision source before the next (peak HBM =
+    original params + one leaf).  MUTATES and returns `params`; the caller
+    must hold no other references to the replaced leaves."""
+    import gc
+
+    def get_path(tree, path):
+        node = tree
+        for key in path:
+            node = node[key]
+        return node
+
+    q_jit = jax.jit(quantize_tensor, donate_argnums=0)
+    for path in _QUANT_PATHS:
+        node = params
+        try:
+            for key in path[:-1]:
+                node = node[key]
+            w = node[path[-1]]
+        except (KeyError, TypeError):
+            continue
+        node[path[-1]] = q_jit(w)
+        del w
+        gc.collect()
+    return params
