@@ -103,6 +103,7 @@ def attention(
     cache_position: Optional[jnp.ndarray] = None,  # scalar start offset
     kv_valid_mask: Optional[jnp.ndarray] = None,   # [B, T_kv] 1=attendable
     causal: bool = True,
+    use_flash: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """GQA attention (q/k/v with bias, o without — Qwen2.5 layout).
 
@@ -110,6 +111,12 @@ def attention(
       * no cache: self-attention over x with causal+padding mask.
       * cache: writes k/v at cache_position, attends over the full cache
         masked by kv_valid_mask (precomputed length mask).
+
+    use_flash: route the T>1 self-attention window through the Pallas
+    flash kernel (ops/flash_attention).  None = auto: on for TPU backends
+    with T ≥ 128.  Prefill-into-cache also qualifies (cache_position==0
+    writes exactly positions [0, T), so attending over the fresh k/v
+    equals attending over the cache window).
     """
     from ..ops.quant import matmul
 
@@ -126,6 +133,28 @@ def attention(
         cache_kv = (k_all, v_all)
     else:
         k_all, v_all = k, v
+
+    if use_flash is None:
+        use_flash = (
+            T >= 128 and causal and jax.default_backend() in ("tpu", "axon")
+        )
+    if use_flash and T > 1 and causal:
+        # Self-attention window through the Pallas flash kernel.  With a
+        # cache this is valid only for a cache_position==0 prefill (the
+        # window [0, T) holds every attendable key) — generate_jit's
+        # prefill is the only such caller.
+        from ..ops.flash_attention import flash_attention
+
+        window_valid = (
+            kv_valid_mask[:, :T] if kv_valid_mask is not None
+            else jnp.ones((B, T), jnp.int32)
+        )
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), window_valid, causal=True,
+        ).transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
+        out = matmul(out, params["o_proj"]["w"])
+        return out, cache_kv
 
     T_kv = k_all.shape[1]
     groups = H // KV

@@ -67,6 +67,7 @@ def text_model_forward(
     capacity: Optional[int] = None,
     output_router_stats: bool = False,
     remat: bool = False,
+    use_flash: Optional[bool] = None,
 ) -> TextModelOutput:
     """36-layer decoder stack as one lax.scan over stacked layer params.
 
@@ -92,6 +93,7 @@ def text_model_forward(
             cache_kv=(cache_k, cache_v) if use_cache else None,
             cache_position=cache_position,
             kv_valid_mask=kv_valid_mask,
+            use_flash=use_flash,
         )
         h = residual + attn_out
         residual = h
