@@ -1,0 +1,188 @@
+#!/usr/bin/env python3
+"""Training entrypoint CLI.
+
+Port of the reference's training launcher surface (reference:
+UniMoEV2-Preview/training/train_unimoev2_qwen2vl.py:48-338 +
+script/training.sh:34-80): same hyperparameter names, no DeepSpeed — the
+mesh shardings replace ZeRO/EP process groups, orbax replaces DS
+checkpoints.
+
+Example (mirrors script/training.sh's canonical run):
+  python -m unimoe_audio_tpu.train.cli \
+      --model_name_or_path /path/to/dense-or-moe-ckpt \
+      --data_path /path/to/hf_dataset --initialize \
+      --moe_copy all --mlp_dynamic_expert_num 4 --mlp_fixed_expert_num 2 \
+      --mlp_dynamic_null_expert_num 1 --mlp_dynamic_top_p 0.7 \
+      --dynamic_mlp_size_factor 4 --fixed_mlp_size_factor 8 \
+      --aux_balance_weight 10 --l_aux_weight 0.025 \
+      --learning_rate 1e-4 --num_train_epochs 1 --ep_size 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="UniMoE-Audio TPU trainer")
+    # Model args (reference ModelArguments)
+    p.add_argument("--model_name_or_path", required=True)
+    p.add_argument("--initialize", action="store_true",
+                   help="run dense→MoE surgery on a dense checkpoint")
+    p.add_argument("--moe_copy", choices=["all", "single", "none"], default="all")
+    p.add_argument("--mlp_dynamic_expert_num", type=int, default=4)
+    p.add_argument("--mlp_dynamic_null_expert_num", type=int, default=1)
+    p.add_argument("--mlp_fixed_expert_num", type=int, default=2)
+    p.add_argument("--mlp_dynamic_top_p", type=float, default=0.7)
+    p.add_argument("--mlp_dynamic_top_k", type=int, default=0)
+    p.add_argument("--dynamic_mlp_size_factor", type=int, default=4)
+    p.add_argument("--fixed_mlp_size_factor", type=int, default=8)
+    p.add_argument("--token_drop", action="store_true")
+    p.add_argument("--drop_policy", choices=["probs", "position"], default="probs")
+    p.add_argument("--capacity_factor", type=float, default=3.0)
+    p.add_argument("--min_capacity", type=int, default=8)
+    p.add_argument("--ep_size", type=int, default=1)
+    p.add_argument("--tp_size", type=int, default=1)
+    p.add_argument("--only_gate_training", action="store_true")
+    # Data args
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--image_root", default=None)
+    p.add_argument("--data_sample", type=int, default=None)
+    p.add_argument("--model_max_length", type=int, default=4096)
+    # Training args (reference TrainingArguments essentials)
+    p.add_argument("--output_dir", default="./output")
+    p.add_argument("--num_train_epochs", type=float, default=1.0)
+    p.add_argument("--per_device_train_batch_size", type=int, default=2)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--warmup_ratio", type=float, default=0.03)
+    p.add_argument("--lr_scheduler_type", default="cosine")
+    p.add_argument("--l_aux_weight", type=float, default=0.025)
+    p.add_argument("--min_l_aux_weight", type=float, default=0.001)
+    p.add_argument("--l_aux_weight_decay_steps", type=int, default=10000)
+    p.add_argument("--aux_balance_weight", type=float, default=10.0)
+    p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--logging_steps", type=int, default=10)
+    p.add_argument("--gradient_checkpointing", action="store_true", default=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_steps", type=int, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import UniMoEAudioConfig
+    from ..models.model import init_model_params
+    from ..parallel.mesh import default_mesh_shape, make_mesh, shard_params
+    from ..train.data import Collator, ConversationDataset
+    from ..train.surgery import moeify_dense_params
+    from ..train.trainer import MetricsLogger, Trainer, TrainerConfig
+
+    # --- config + params -------------------------------------------------
+    cfg_path = os.path.join(args.model_name_or_path, "config.json")
+    cfg = UniMoEAudioConfig.from_json(cfg_path)
+    tc = dataclasses.replace(
+        cfg.text_config,
+        mlp_dynamic_expert_num=args.mlp_dynamic_expert_num,
+        mlp_dynamic_null_expert_num=args.mlp_dynamic_null_expert_num,
+        mlp_fixed_expert_num=args.mlp_fixed_expert_num,
+        mlp_dynamic_top_p=args.mlp_dynamic_top_p,
+        mlp_dynamic_top_k=args.mlp_dynamic_top_k,
+        dynamic_intermediate_size=cfg.text_config.intermediate_size // args.dynamic_mlp_size_factor,
+        shared_intermediate_size=cfg.text_config.intermediate_size // args.fixed_mlp_size_factor,
+        token_drop=args.token_drop,
+        drop_policy=args.drop_policy,
+        capacity_factor=args.capacity_factor,
+        min_capacity=args.min_capacity,
+        l_aux_weight=args.l_aux_weight,
+        min_l_aux_weight=args.min_l_aux_weight,
+        l_aux_weight_decay_steps=args.l_aux_weight_decay_steps,
+        ep_size=args.ep_size,
+    ) if args.initialize else cfg.text_config
+    cfg = dataclasses.replace(cfg, text_config=tc)
+
+    jax_blob = os.path.join(args.model_name_or_path, "model.jax.pkl")
+    if os.path.isfile(jax_blob):
+        import pickle
+
+        with open(jax_blob, "rb") as f:
+            blob = pickle.load(f)
+        params = blob["params"]
+        if args.initialize:
+            params = moeify_dense_params(params, tc, moe_copy=args.moe_copy)
+        else:
+            params = jax.tree.map(jnp.asarray, params)
+    else:
+        print("[warning] no model.jax.pkl found — random init (development run)")
+        params = init_model_params(jax.random.PRNGKey(args.seed), cfg)
+
+    # --- mesh ------------------------------------------------------------
+    n_dev = len(jax.devices())
+    mesh_shape = default_mesh_shape(n_dev, args.ep_size, args.tp_size)
+    mesh = make_mesh(*mesh_shape)
+    params = shard_params(params, mesh, cfg)
+    print(f"mesh (data, expert, model) = {mesh_shape} over {n_dev} devices")
+
+    # --- data ------------------------------------------------------------
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(args.model_name_or_path)
+    dataset = ConversationDataset(
+        args.data_path, tokenizer,
+        image_token_index=cfg.image_token_id,
+        model_max_length=args.model_max_length,
+        data_sample=args.data_sample,
+    )
+    collator = Collator(
+        pad_token_id=tokenizer.pad_token_id or 0,
+        aux_balance_weight=args.aux_balance_weight,
+        model_max_length=args.model_max_length,
+    )
+
+    steps_per_epoch = max(1, len(dataset) // args.per_device_train_batch_size)
+    total_steps = args.max_steps or int(steps_per_epoch * args.num_train_epochs)
+
+    def batches():
+        rng = np.random.default_rng(args.seed)
+        for _ in range(int(args.num_train_epochs)):
+            order = rng.permutation(len(dataset))
+            for i in range(0, len(order) - args.per_device_train_batch_size + 1,
+                           args.per_device_train_batch_size):
+                idx = order[i : i + args.per_device_train_batch_size]
+                yield collator([dataset[int(j)] for j in idx])
+
+    # --- train -----------------------------------------------------------
+    tcfg = TrainerConfig(
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        warmup_steps=max(1, int(total_steps * args.warmup_ratio)),
+        total_steps=total_steps,
+        schedule=args.lr_scheduler_type,
+        log_every=args.logging_steps,
+        save_every=args.save_steps,
+        ckpt_dir=os.path.join(args.output_dir, "checkpoints"),
+        remat=args.gradient_checkpointing,
+        seed=args.seed,
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    logger = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
+    trainer = Trainer(cfg, params, tcfg, logger=logger)
+    trainer.fit(batches(), max_steps=args.max_steps)
+    with open(os.path.join(args.output_dir, "train_done.json"), "w") as f:
+        json.dump({"steps": int(trainer.state.step)}, f)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
