@@ -1,0 +1,38 @@
+"""Serving-entry tests: multi-device mesh serving on the virtual CPU mesh
+(the reference's multi-GPU EP inference path, multi_gpu_with_ep.py),
+TTFA latency harness."""
+
+import numpy as np
+import jax
+import pytest
+
+from tests.test_api import StubTokenizer
+from unimoe_audio_tpu.apps.serve import build_server, measure_ttfa
+from unimoe_audio_tpu.codec import audio_io
+from unimoe_audio_tpu.config import tiny_test_config
+
+
+def test_mesh_served_generation(tmp_path):
+    cfg = tiny_test_config(
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=2,
+        mlp_dynamic_expert_num=4, dynamic_intermediate_size=64,
+        shared_intermediate_size=32,
+    )
+    model = build_server(
+        None, ep_size=2, tp_size=2, allow_random=True,
+        tokenizer=StubTokenizer(cfg), config=cfg, max_tokens=16, min_tokens=4,
+    )
+    paths = model.text_to_music("served melody", output_dir=str(tmp_path), seed=0)
+    assert len(paths) == 1
+    audio, _ = audio_io.read_wav(paths[0])
+    assert np.isfinite(audio).all()
+
+
+def test_ttfa_harness():
+    cfg = tiny_test_config()
+    model = build_server(
+        None, allow_random=True, tokenizer=StubTokenizer(cfg), config=cfg,
+        max_tokens=16, min_tokens=4,
+    )
+    stats = measure_ttfa(model, n_trials=2)
+    assert stats["p50_ttfa_s"] > 0 and np.isfinite(stats["p50_ttfa_s"])
