@@ -84,3 +84,27 @@ def test_ep_shard_map_matches_dense(ep):
 
     want = D.moe_ffn_dense(hidden, mask, w, params)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_gmm_matches_dense():
+    """Ragged grouped-GEMM (megablox) path == dense path."""
+    rng = jax.random.PRNGKey(9)
+    S, E, dim, F = 64, 4, 128, 128
+    params = make_params(rng, E, dim, F)
+    hidden = jax.random.normal(jax.random.fold_in(rng, 1), (S, dim))
+    mask, w = random_routing(jax.random.fold_in(rng, 2), S, E)
+    got = D.moe_ffn_gmm(hidden, mask, w, params)
+    want = D.moe_ffn_dense(hidden, mask, w, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_gmm_budget_drops_overflow():
+    rng = jax.random.PRNGKey(10)
+    S, E, dim, F = 64, 2, 128, 128
+    params = make_params(rng, E, dim, F)
+    hidden = jax.random.normal(jax.random.fold_in(rng, 1), (S, dim))
+    mask = jnp.ones((S, E), dtype=jnp.int32)  # 128 assignments
+    w = jnp.full((S, E), 0.5)
+    got = D.moe_ffn_gmm(hidden, mask, w, params, assignment_budget=128)
+    want = D.moe_ffn_dense(hidden, mask, w, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)

@@ -171,6 +171,11 @@ def dcmoe_block(
             x_orig, real_mask, real_w, params["dynamic"], capacity if capacity is not None else S,
             axis_name=ep_axis,
         )
+    elif dispatch_mode == "gmm":
+        out = D.moe_ffn_gmm(
+            x_orig, real_mask, real_w, params["dynamic"],
+            assignment_budget=capacity,
+        )
     else:
         raise ValueError(f"Unknown dispatch_mode: {dispatch_mode}")
 

@@ -183,6 +183,92 @@ def moe_ffn_ep(
     return combine_from_packed(y_packed, pos, expert_mask, router_weight)
 
 
+def moe_ffn_gmm(
+    hidden: jnp.ndarray,
+    expert_mask: jnp.ndarray,
+    router_weight: jnp.ndarray,
+    params: Dict[str, jnp.ndarray],
+    *,
+    assignment_budget: Optional[int] = None,
+) -> jnp.ndarray:
+    """Ragged grouped-GEMM path (Pallas megablox `gmm`).
+
+    The true TPU-native replacement for the reference's
+    compress→all-to-all→chunked-experts pipeline (SURVEY.md §7.3): flatten
+    (token, expert) assignments, sort them expert-major (stable ⇒ grouped
+    and sequence-ordered), and run ONE grouped matmul per projection whose
+    compute is proportional to the ACTUAL number of assignments — no
+    all-experts dense work, no capacity padding per expert.
+
+    assignment_budget: static row count (multiple of 128) for the packed
+    assignment matrix.  None → S·E (exact, never drops).  Overflow beyond
+    the budget drops highest-expert assignments (budgeted routing).
+    """
+    from jax.experimental.pallas.ops.tpu.megablox import gmm
+
+    S, Dm = hidden.shape
+    E = expert_mask.shape[1]
+    Fd = params["gate"].shape[-1] if not hasattr(params["gate"], "q") else params["gate"].q.shape[-1]
+
+    mask_es = expert_mask.T.reshape(-1)                      # [E·S] expert-major
+    n_slots = S * E
+    A = assignment_budget or -(-n_slots // 128) * 128
+    order = jnp.argsort(1 - mask_es, stable=True)            # selected first
+    if A > n_slots:
+        order = jnp.concatenate([order, jnp.zeros(A - n_slots, order.dtype)])
+    slots = order[:A]                                        # [A]
+    slot_expert = slots // S
+    slot_token = slots % S
+    slot_valid = (jnp.arange(A) < n_slots) & (mask_es[slots] > 0)
+
+    x_rows = jnp.where(slot_valid[:, None], hidden[slot_token], 0)  # [A, D]
+    counts = jnp.sum(expert_mask.astype(jnp.int32), axis=0)         # [E]
+    kept = jnp.minimum(jnp.cumsum(counts), A)
+    kept_counts = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.int32), kept.astype(jnp.int32)]))
+    # Pad rows belong to the last group so every row is computed (zeros in →
+    # zeros out; gmm leaves rows past sum(group_sizes) as garbage otherwise).
+    pad = A - jnp.sum(kept_counts)
+    group_sizes = kept_counts.at[E - 1].add(pad)
+
+    def w(name):
+        p = params[name]
+        return p.q.astype(hidden.dtype) if hasattr(p, "q") else p.astype(hidden.dtype)
+
+    def scale(name, y):
+        p = params[name]
+        if hasattr(p, "q"):
+            # per-expert scales [E, 1, N] → per-row via slot_expert
+            return y * p.s[slot_expert, 0].astype(y.dtype)
+        return y
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
+    def run(x, wt):
+        # Mosaic tile dims must divide (or equal) the array dims; the 2752
+        # FFN dim is not 128-divisible, so those axes use full-dim tiles.
+        # NOTE: measured on v5e, the dense all-experts einsum still wins at
+        # flagship shapes (the batched einsum hits ~178 TFLOP/s effective
+        # while gmm pays scatter/gather + large-tile overheads) — this path
+        # is kept for load-imbalanced regimes and future tuning; 'dense'
+        # stays the training default.
+        K, Nn = wt.shape[-2], wt.shape[-1]
+        tiling = (128, 128 if K % 128 == 0 else K, 128 if Nn % 128 == 0 else Nn)
+        return gmm(x, wt, group_sizes, tiling=tiling,
+                   preferred_element_type=jnp.float32, interpret=interpret)
+    g = scale("gate", run(x_rows, w("gate")))
+    u = scale("up", run(x_rows, w("up")))
+    h = (jax.nn.silu(g) * u).astype(hidden.dtype)
+    y = scale("down", run(h, w("down")))  # [A, D]
+
+    w_rows = router_weight[slot_token, slot_expert] * expert_mask[
+        slot_token, slot_expert
+    ].astype(router_weight.dtype)
+    w_rows = jnp.where(slot_valid, w_rows, 0)
+    out = jnp.zeros((S, Dm), dtype=jnp.float32)
+    out = out.at[slot_token].add(y.astype(jnp.float32) * w_rows[:, None].astype(jnp.float32))
+    return out.astype(hidden.dtype)
+
+
 def ep_capacity(expert_mask: jnp.ndarray, *, axis_name: Optional[str] = None) -> jnp.ndarray:
     """Max tokens routed to any expert, optionally pmax-synced across EP ranks
     (the reference's allreduce-MAX capacity sync,
