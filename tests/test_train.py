@@ -174,3 +174,67 @@ def test_text_label_ce_path():
     out = model_forward(params, cfg, ids, labels=labels, aux_loss_weight=0.025)
     assert np.isfinite(float(out.loss))
     assert out.logits is not None
+
+
+def test_trainable_pattern_freezes_params():
+    """only_gate_training-style freeze: only moe/gate updates."""
+    from unimoe_audio_tpu.train.step import init_train_state, make_optimizer, train_step
+
+    cfg = tiny_test_config()
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    opt = make_optimizer(learning_rate=1e-2, total_steps=5, warmup_steps=1,
+                         trainable_pattern=r"moe/gate")
+    state = init_train_state(params, opt)
+    rng = np.random.default_rng(0)
+    C = cfg.codec_channels
+    codec = rng.integers(0, cfg.codec_eos_value, size=(2, 8, C)).astype(np.int32)
+    batch = {
+        "input_ids": jnp.full((2, 8), cfg.codec_placeholder_value, jnp.int32),
+        "codec_input_ids": jnp.asarray(codec),
+        "attention_mask": jnp.ones((2, 8), jnp.int32),
+        "codec_labels": jnp.asarray(codec),
+    }
+    # two steps: warmup makes lr 0 at step 0
+    mid_state, _ = train_step(state, batch, jax.random.PRNGKey(1), cfg=cfg,
+                              optimizer=opt, remat=False)
+    new_state, _ = train_step(mid_state, batch, jax.random.PRNGKey(1), cfg=cfg,
+                              optimizer=opt, remat=False)
+    gate_moved = float(jnp.abs(
+        new_state.params["layers"]["moe"]["gate"] - params["layers"]["moe"]["gate"]
+    ).max())
+    attn_moved = float(jnp.abs(
+        new_state.params["layers"]["attn"]["q_proj"]["w"]
+        - params["layers"]["attn"]["q_proj"]["w"]
+    ).max())
+    emb_moved = float(jnp.abs(
+        new_state.params["embed_tokens"] - params["embed_tokens"]).max())
+    assert gate_moved > 0
+    assert attn_moved == 0 and emb_moved == 0
+
+
+def test_trainer_image_batch(tmp_path):
+    """Image training path: features fused outside jit, CE over labels."""
+    from unimoe_audio_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = tiny_test_config(with_vision=True)
+    vcfg = cfg.vision_config
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32,
+                               with_vision=True)
+    tcfg = TrainerConfig(learning_rate=1e-3, total_steps=2, warmup_steps=1,
+                         log_every=1, save_every=0, ckpt_dir=None, remat=False)
+    tr = Trainer(cfg, params, tcfg)
+
+    # One image: grid 1x4x4 -> 16 patches -> 4 merged tokens.
+    grid = np.array([[1, 4, 4]])
+    patch_dim = vcfg.in_channels * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    pv = np.random.default_rng(0).normal(size=(16, patch_dim)).astype(np.float32)
+    ids = np.full((1, 12), 7, dtype=np.int64)
+    ids[0, 2:6] = cfg.image_token_id
+    labels = ids.copy(); labels[:, :8] = -100
+    batch = {
+        "input_ids": ids, "labels": labels,
+        "attention_mask": np.ones_like(ids),
+        "pixel_values": pv, "image_grid_thw": grid,
+    }
+    hist = tr.fit(iter([batch, batch]))
+    assert len(hist) == 2 and np.isfinite(hist[-1]["loss"])

@@ -317,6 +317,10 @@ def model_forward(
     labels: Optional[jnp.ndarray] = None,            # [B, T] text labels, -100 = ignore
     aux_balance_weight: Optional[jnp.ndarray] = None,
     aux_loss_weight: float = 0.0,
+    pixel_values: Optional[jnp.ndarray] = None,       # [S_patches, patch_dim]
+    image_grid_thw=None,                              # host numpy [n, 3]
+    pixel_values_videos: Optional[jnp.ndarray] = None,
+    video_grid_thw=None,
     training: bool = False,
     rng: Optional[jax.Array] = None,
     dispatch_mode: str = "dense",
@@ -339,6 +343,24 @@ def model_forward(
         inputs_embeds = calculate_input_embedding(
             params, input_ids, codec_input_ids, cfg.codec_placeholder_value
         )
+    # Vision feature fusion for the training/eval path (reference:
+    # utils/UniMoE_Audio_model.py:708-751 masked_scatter of image/video
+    # embeds at their token slots).  grid_thw tensors are host-side.
+    for pv, grid, tok_id in (
+        (pixel_values, image_grid_thw, cfg.image_token_id),
+        (pixel_values_videos, video_grid_thw, cfg.video_token_id),
+    ):
+        if pv is not None:
+            from .vision import vision_forward
+
+            feats = vision_forward(params["vision"], pv, grid, cfg.vision_config)
+            vmask = input_ids == tok_id
+            # Order-preserving scatter: the j-th vision token row takes
+            # feats[j] (flattened batch reading order).
+            slot_order = jnp.cumsum(vmask.reshape(-1)) - 1
+            gathered = feats[jnp.clip(slot_order, 0, feats.shape[0] - 1)]
+            gathered = gathered.reshape(B, T, -1).astype(inputs_embeds.dtype)
+            inputs_embeds = jnp.where(vmask[..., None], gathered, inputs_embeds)
     if position_ids is None:
         pos = jnp.cumsum(attention_mask, axis=-1) - 1
         pos = jnp.where(attention_mask == 0, 1, pos)

@@ -163,7 +163,13 @@ def main(argv=None):
                 yield collator([dataset[int(j)] for j in idx])
 
     # --- train -----------------------------------------------------------
+    trainable = None
+    if args.only_gate_training:
+        # Stage-2-style curriculum: router gate only (reference
+        # only_gate_training regex freeze, train_unimoev2_qwen2vl.py:311-314).
+        trainable = r"moe/gate"
     tcfg = TrainerConfig(
+        trainable_pattern=trainable,
         learning_rate=args.learning_rate,
         weight_decay=args.weight_decay,
         warmup_steps=max(1, int(total_steps * args.warmup_ratio)),

@@ -37,9 +37,16 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     grad_clip: float = 1.0,
+    trainable_pattern: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """AdamW + warmup-cosine/-linear decay (the reference's canonical recipe,
-    UniMoEV2-Preview/script/training.sh:60-66 + deepspeed WarmupDecayLR)."""
+    UniMoEV2-Preview/script/training.sh:60-66 + deepspeed WarmupDecayLR).
+
+    trainable_pattern: regex over slash-joined param paths; non-matching
+    params are FROZEN (no updates, no optimizer state) — the reference's
+    set_trainable regex freeze (training_utils.py:93-118), e.g.
+    'moe/gate|moe/fixed' for the stage-2 router+shared-experts curriculum
+    and 'moe/gate' for only_gate_training."""
     if schedule == "cosine":
         sched = optax.warmup_cosine_decay_schedule(
             0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1)
@@ -62,10 +69,27 @@ def make_optimizer(
             return not any(s in name for s in ("layernorm", "norm", "_b", "/b"))
         return jax.tree_util.tree_map_with_path(is_decay, params)
 
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay, mask=decay_mask),
     )
+    if trainable_pattern is not None:
+        import re
+
+        pat = re.compile(trainable_pattern)
+
+        def frozen_mask(params):
+            def check(path, leaf):
+                name = "/".join(
+                    str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+                )
+                return not bool(pat.search(name))
+            return jax.tree_util.tree_map_with_path(check, params)
+
+        # Zero the FINAL update for frozen params (masked() alone would pass
+        # their raw gradients through untouched).
+        opt = optax.chain(opt, optax.masked(optax.set_to_zero(), frozen_mask))
+    return opt
 
 
 def aux_weight_at_step(cfg: UniMoEAudioConfig, step: jnp.ndarray) -> jnp.ndarray:
@@ -92,6 +116,8 @@ def loss_fn(
         params, cfg, batch["input_ids"],
         codec_input_ids=batch.get("codec_input_ids"),
         attention_mask=batch.get("attention_mask"),
+        position_ids=batch.get("position_ids"),
+        inputs_embeds=batch.get("inputs_embeds"),
         codec_labels=batch.get("codec_labels"),
         labels=batch.get("labels"),
         aux_balance_weight=batch.get("aux_balance_weight"),

@@ -38,6 +38,9 @@ class TrainerConfig:
     dispatch_mode: str = "dense"
     remat: bool = True
     seed: int = 0
+    # Regex over param paths; non-matching params frozen (reference
+    # set_trainable / only_gate_training).  None = train everything.
+    trainable_pattern: Optional[str] = None
 
 
 class MetricsLogger:
@@ -78,6 +81,7 @@ class Trainer:
             total_steps=tcfg.total_steps,
             schedule=tcfg.schedule,
             grad_clip=tcfg.grad_clip,
+            trainable_pattern=tcfg.trainable_pattern,
         )
         self.state = init_train_state(params, self.optimizer)
         self.logger = logger or MetricsLogger()
@@ -108,6 +112,43 @@ class Trainer:
                 max_to_keep=self.tcfg.max_to_keep,
             )
 
+    # -- vision preprocessing ---------------------------------------------
+    def _prepare_vision_batch(self, batch: Dict) -> Dict:
+        """Fuse image features into inputs_embeds OUTSIDE the jitted step
+        (grid shapes are data-dependent).  The vision tower is therefore
+        frozen during training — matching the reference's staged curriculum
+        where the tower is not a training target (script/training.sh)."""
+        if "pixel_values" not in batch:
+            return batch
+        from ..models.model import calculate_input_embedding, get_rope_index
+        from ..models.vision import vision_forward
+
+        batch = dict(batch)
+        pv = jnp.asarray(batch.pop("pixel_values"))
+        grid = np.asarray(batch.pop("image_grid_thw"))
+        ids = np.asarray(batch["input_ids"])
+        feats = vision_forward(self.state.params["vision"], pv, grid,
+                               self.cfg.vision_config)
+        emb = calculate_input_embedding(
+            self.state.params, jnp.asarray(ids),
+            batch.get("codec_input_ids"),
+            self.cfg.codec_placeholder_value,
+        )
+        vmask = ids == self.cfg.image_token_id
+        slots = np.argwhere(vmask)
+        assert len(slots) == feats.shape[0], (
+            f"image tokens {len(slots)} != features {feats.shape[0]}"
+        )
+        emb_np = np.array(emb, dtype=np.float32)  # writable copy
+        emb_np[vmask] = np.asarray(feats, dtype=np.float32)
+        batch["inputs_embeds"] = emb_np.astype(np.asarray(emb).dtype)
+        pos, _ = get_rope_index(
+            ids, self.cfg, image_grid_thw=grid,
+            attention_mask=batch.get("attention_mask"),
+        )
+        batch["position_ids"] = pos
+        return batch
+
     # -- training --------------------------------------------------------
     def fit(self, batches: Iterable[Dict[str, np.ndarray]],
             max_steps: Optional[int] = None) -> List[Dict[str, float]]:
@@ -118,6 +159,7 @@ class Trainer:
             step_no = int(self.state.step)
             if max_steps is not None and step_no >= max_steps:
                 break
+            batch = self._prepare_vision_batch(batch)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             self.state, metrics = self._step_fn(self.state, batch, self.rng)
             if step_no % self.tcfg.log_every == 0:
