@@ -113,3 +113,47 @@ def test_generate_deterministic_greedy(setup):
     r1, _ = run_generate(cfg, params, seed=1)
     r2, _ = run_generate(cfg, params, seed=1)
     np.testing.assert_array_equal(np.asarray(r1.codes), np.asarray(r2.codes))
+
+
+def test_teacher_forcing_guidance(setup):
+    """debug_guidance_step=-1 forces predictions to labels everywhere and
+    reports a finite golden loss (reference debug path,
+    utils/UniMoE_Audio_model.py:1019-1048)."""
+    cfg, params = setup
+    from unimoe_audio_tpu.generate.loop import generate_jit, pad_buffer
+    from unimoe_audio_tpu.codec import delay as dl
+    import jax.numpy as jnp
+
+    B, T_text, max_tokens = 1, 7, 12
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, 200, size=(2 * B, T_text)))
+    attn = jnp.ones((2 * B, T_text), dtype=jnp.int32)
+    prefill, steps = dl.prepare_audio_prompt(
+        [None] * B, num_channels=cfg.codec_channels,
+        bos_value=cfg.codec_bos_value, delay_pattern=cfg.codec_delay_pattern,
+    )
+    buf = pad_buffer(prefill, max_tokens)
+    labels = jnp.asarray(
+        rng.integers(0, cfg.codec_eos_value, size=buf.shape), dtype=jnp.int32
+    )
+    res = generate_jit(
+        params, cfg, ids, attn, None, buf, jnp.asarray(steps, jnp.int32),
+        jax.random.PRNGKey(0), None, None, None, labels,
+        debug_guidance_step=-1,
+        max_tokens=max_tokens, min_tokens=jnp.int32(max_tokens),
+        cfg_scale=jnp.float32(0.0), temperature=jnp.float32(1.0),
+        top_p=jnp.float32(1.0), cfg_filter_top_k=8,
+        eos_prob_mul_factor=jnp.float32(1.0), do_sample=False,
+    )
+    assert np.isfinite(float(res.guidance_loss)) and float(res.guidance_loss) > 0
+    # Forced predictions: generated region equals labels where buffer was open.
+    codes = np.asarray(res.codes)[0]
+    lab = np.asarray(labels)[0]
+    start = steps[0]
+    # step indices [start+?]: buffer positions written by the loop
+    window = np.asarray(buf)[0, start:start + max_tokens]
+    forced = codes[(window == -1).all(-1)]
+    want = lab[start:start + max_tokens][(window == -1).all(-1)]
+    # rows not overwritten by the EOS countdown match the labels
+    agree = (forced == want).mean()
+    assert agree > 0.5, agree

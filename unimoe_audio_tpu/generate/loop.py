@@ -37,6 +37,9 @@ class GenerateResult(NamedTuple):
                             # sliced to start at each sample's prefill step
     lengths: jnp.ndarray    # [B] audio frame counts (pre-delay-revert)
     steps: jnp.ndarray      # scalar: decode steps actually executed
+    guidance_loss: jnp.ndarray  # mean teacher-forced CE ("golden loss",
+                                # utils/UniMoE_Audio_model.py:1031-1048);
+                                # 0 when no guidance labels were given
 
 
 class _LoopState(NamedTuple):
@@ -47,12 +50,15 @@ class _LoopState(NamedTuple):
     eos_countdown: jnp.ndarray
     finished_step: jnp.ndarray
     rng: jax.Array
+    guidance_loss: jnp.ndarray
+    guidance_count: jnp.ndarray
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "max_tokens", "cfg_filter_top_k", "do_sample", "dispatch_mode",
+        "debug_guidance_step",
     ),
 )
 def generate_jit(
@@ -67,7 +73,9 @@ def generate_jit(
     visual_embeds: Optional[jnp.ndarray] = None,   # [2B, T_text, D]
     visual_mask: Optional[jnp.ndarray] = None,     # [2B, T_text] 1 = vision slot
     prefill_position_ids: Optional[jnp.ndarray] = None,  # [3, 2B, T_text] mRoPE
+    guidance_labels: Optional[jnp.ndarray] = None,  # [B, buf_len, C] delayed labels
     *,
+    debug_guidance_step: int = 0,
     max_tokens: int,
     min_tokens: jnp.ndarray,         # scalar int32
     cfg_scale: jnp.ndarray,          # scalar f32
@@ -194,6 +202,29 @@ def generate_jit(
             pred = jnp.argmax(flat, axis=-1)
         pred = pred.reshape(B, C).astype(jnp.int32)
 
+        # Teacher-forced "golden loss" + guided decoding (reference:
+        # utils/UniMoE_Audio_model.py:1019-1048, 1170-1171): per-channel CE
+        # of this step's logits vs labels at current_step, channel 0 3×.
+        g_loss, g_count = s.guidance_loss, s.guidance_count
+        if guidance_labels is not None:
+            lab = jax.lax.dynamic_slice(
+                guidance_labels, (0, current_step, 0), (B, 1, C)
+            )[:, 0]  # [B, C]
+            # Channel 0 may carry EOS as a target; other channels may not
+            # (reference: utils/UniMoE_Audio_model.py:1022-1026).
+            ch_ids = jnp.arange(C)[None, :]
+            valid = (lab >= 0) & jnp.where(ch_ids == 0, lab <= eos, lab < eos)
+            safe = jnp.clip(lab, 0, Vc - 1)
+            logp = jax.nn.log_softmax(logits_B, axis=-1)
+            nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            ch_w = jnp.where(jnp.arange(C) == 0, 3.0, 1.0)[None, :]
+            nll = jnp.where(valid, nll * ch_w, 0.0)
+            g_loss = g_loss + jnp.sum(nll)
+            g_count = g_count + jnp.sum(valid)
+            if debug_guidance_step != 0:
+                force = (dec_step < debug_guidance_step) | (debug_guidance_step == -1)
+                pred = jnp.where(force & (lab >= 0), lab, pred)
+
         # --- delay-pattern EOS countdown state machine
         # (reference: utils/UniMoE_Audio_model.py:1173-1197) ---
         active = s.eos_countdown != 0
@@ -229,6 +260,8 @@ def generate_jit(
             eos_countdown=eos_countdown,
             finished_step=finished_step,
             rng=rng,
+            guidance_loss=g_loss,
+            guidance_count=g_count,
         )
 
     init = _LoopState(
@@ -239,6 +272,8 @@ def generate_jit(
         eos_countdown=jnp.full((B,), -1, dtype=jnp.int32),
         finished_step=jnp.full((B,), -1, dtype=jnp.int32),
         rng=rng,
+        guidance_loss=jnp.float32(0),
+        guidance_count=jnp.int32(0),
     )
     final = jax.lax.while_loop(cond_fn, body_fn, init)
 
@@ -261,7 +296,10 @@ def generate_jit(
     # Any never-written sentinel (-1) also becomes PAD.
     codes = jnp.where(codes == -1, pad, codes)
 
-    return GenerateResult(codes=codes, lengths=lengths, steps=final.dec_step - start_step)
+    return GenerateResult(
+        codes=codes, lengths=lengths, steps=final.dec_step - start_step,
+        guidance_loss=final.guidance_loss / jnp.maximum(final.guidance_count, 1),
+    )
 
 
 def pad_buffer(prefill: jnp.ndarray, max_tokens: int) -> jnp.ndarray:
