@@ -108,3 +108,22 @@ def test_gmm_budget_drops_overflow():
     got = D.moe_ffn_gmm(hidden, mask, w, params, assignment_budget=128)
     want = D.moe_ffn_dense(hidden, mask, w, params)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_compress_decompress_round_trip():
+    """decompress∘compress == mask-filtered identity (SURVEY §4 property;
+    reference primitives utils/UniMoE_Audio_utils.py:436-523)."""
+    rng = np.random.default_rng(11)
+    S, E, M = 20, 3, 5
+    mask = jnp.asarray((rng.random((S, E)) > 0.5).astype(np.int32))
+    A = jnp.asarray(rng.normal(size=(S, E, M)).astype(np.float32))
+    cap = int(np.asarray(mask.sum(0)).max())
+    packed = D.compress_matrix(A, mask, force_dim=cap)
+    assert packed.shape == (cap, E, M)
+    back = np.asarray(D.decompress_matrix(packed, mask))
+    want = np.asarray(A) * np.asarray(mask)[..., None]
+    np.testing.assert_allclose(back, want, rtol=1e-6)
+    # 2-D variant (mask itself), force_dim larger than S
+    packed2 = D.compress_matrix(mask.astype(jnp.float32), mask, force_dim=S + 7)
+    back2 = np.asarray(D.decompress_matrix(packed2, mask))
+    np.testing.assert_allclose(back2, np.asarray(mask, dtype=np.float32))

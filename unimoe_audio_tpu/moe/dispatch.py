@@ -269,6 +269,47 @@ def moe_ffn_gmm(
     return out.astype(hidden.dtype)
 
 
+def compress_matrix(A: jnp.ndarray, mask: jnp.ndarray, force_dim: int) -> jnp.ndarray:
+    """Reference-surface pack: [S, E, ...] → [force_dim, E, ...] with each
+    column's selected rows packed to the top in sequence order, zeros below
+    (reference: utils/UniMoE_Audio_utils.py:436-485; `force_dim` is the
+    static capacity — XLA shapes forbid the reference's dynamic max)."""
+    S, E = mask.shape
+    order = jnp.argsort(1 - mask.astype(jnp.int32), axis=0, stable=True)  # [S, E]
+    idx = order[:force_dim]  # [X, E]
+    gathered = jnp.take_along_axis(
+        A, idx.reshape((min(force_dim, S),) + (E,) + (1,) * (A.ndim - 2)), axis=0
+    ) if force_dim <= S else None
+    if force_dim > S:
+        pad = jnp.zeros((force_dim - S,) + A.shape[1:], dtype=A.dtype)
+        base = jnp.take_along_axis(
+            A, order.reshape((S, E) + (1,) * (A.ndim - 2)), axis=0
+        )
+        gathered = jnp.concatenate([base, pad], axis=0)
+    counts = jnp.sum(mask.astype(jnp.int32), axis=0)
+    valid = jnp.arange(force_dim)[:, None] < counts[None, :]
+    return gathered * valid.reshape((force_dim, E) + (1,) * (A.ndim - 2)).astype(A.dtype)
+
+
+def decompress_matrix(B_mat: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Inverse scatter of compress_matrix (reference:
+    utils/UniMoE_Audio_utils.py:488-523): row c of column e returns to the
+    c-th selected sequence position.  Unselected positions are zero."""
+    S, E = mask.shape
+    X = min(B_mat.shape[0], S)
+    order = jnp.argsort(1 - mask.astype(jnp.int32), axis=0, stable=True)[:X]
+    out = jnp.zeros((S, E) + B_mat.shape[2:], dtype=B_mat.dtype)
+    e_idx = jnp.broadcast_to(jnp.arange(E)[None, :], (X, E))
+    # Zero the over-capacity pack rows so they don't scatter garbage onto
+    # re-used (wrapped) argsort positions.
+    counts = jnp.sum(mask.astype(jnp.int32), axis=0)
+    valid = (jnp.arange(X)[:, None] < counts[None, :]).reshape(
+        (X, E) + (1,) * (B_mat.ndim - 2)
+    )
+    src = B_mat[:X] * valid.astype(B_mat.dtype)
+    return out.at[order, e_idx].set(src)
+
+
 def ep_capacity(expert_mask: jnp.ndarray, *, axis_name: Optional[str] = None) -> jnp.ndarray:
     """Max tokens routed to any expert, optionally pmax-synced across EP ranks
     (the reference's allreduce-MAX capacity sync,

@@ -135,9 +135,16 @@ def main(argv=None):
     print(f"mesh (data, expert, model) = {mesh_shape} over {n_dev} devices")
 
     # --- data ------------------------------------------------------------
-    from transformers import AutoTokenizer
+    try:
+        from transformers import AutoTokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(args.model_name_or_path)
+        tokenizer = AutoTokenizer.from_pretrained(args.model_name_or_path)
+    except Exception:
+        from ..train.data import SimpleTokenizer
+
+        print("[warning] no HF tokenizer assets — using the development "
+              "whitespace tokenizer")
+        tokenizer = SimpleTokenizer(vocab_size=cfg.text_config.vocab_size)
     dataset = ConversationDataset(
         args.data_path, tokenizer,
         image_token_index=cfg.image_token_id,

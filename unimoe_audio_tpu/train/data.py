@@ -179,6 +179,57 @@ class Collator:
         return batch
 
 
+class SimpleTokenizer:
+    """Hash-vocab whitespace tokenizer — development fallback when no HF
+    tokenizer assets exist (keeps the CLI runnable end to end)."""
+
+    eos_token = "</s>"
+    eos_token_id = 2
+    bos_token_id = None
+    pad_token_id = 0
+
+    def __init__(self, vocab_size: int = 151676, special: Optional[Dict[str, int]] = None):
+        self.vocab_size = vocab_size
+        self.special = special or {}
+
+    def _encode(self, text: str) -> List[int]:
+        ids = []
+        pattern = None
+        if self.special:
+            pattern = "(" + "|".join(re.escape(t) for t in self.special) + ")"
+        parts = re.split(pattern, text) if pattern else [text]
+        for part in parts:
+            if not part:
+                continue
+            if part in self.special:
+                ids.append(self.special[part])
+                continue
+            for w in part.split():
+                ids.append(self.eos_token_id if w == self.eos_token
+                           else 10 + (hash(w) % (self.vocab_size - 20)))
+        return ids
+
+    def __call__(self, text, add_special_tokens=False, padding=False,
+                 return_tensors=None):
+        texts = text if isinstance(text, list) else [text]
+        seqs = [self._encode(t) for t in texts]
+
+        class R:
+            pass
+
+        r = R()
+        if return_tensors == "np":
+            T = max(len(s) for s in seqs)
+            ids = np.zeros((len(seqs), T), dtype=np.int64)
+            mask = np.zeros((len(seqs), T), dtype=np.int64)
+            for i, s in enumerate(seqs):
+                ids[i, T - len(s):] = s
+                mask[i, T - len(s):] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+        r.input_ids = seqs if isinstance(text, list) else seqs[0]
+        return r
+
+
 class ConversationDataset:
     """Lazy map over an HF-datasets arrow dir or a list of dicts (reference:
     LazySupervisedDataset, qwen2vl_datasets.py:74-165)."""
