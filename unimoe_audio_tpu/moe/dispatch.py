@@ -74,7 +74,10 @@ def moe_ffn_dense(
     w = router_weight * expert_mask.astype(router_weight.dtype)  # [S, E]
     x = jnp.broadcast_to(hidden[None], (wshape(params["gate"])[0],) + hidden.shape)
     y = swiglu_expert_ffn(x, params)  # [E, S, D]
-    return jnp.einsum("se,esd->sd", w.astype(y.dtype), y)
+    # "esd,se->sd" (expert dim leads the contraction): under an
+    # expert-sharded mesh GSPMD lowers this to a local contraction + psum,
+    # where the "se,esd" ordering forced an involuntary full respread.
+    return jnp.einsum("esd,se->sd", y, w.astype(y.dtype))
 
 
 def pack_by_expert(

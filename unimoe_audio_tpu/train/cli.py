@@ -72,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gradient_checkpointing", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for pods")
     return p
 
 
@@ -81,6 +83,9 @@ def main(argv=None):
     import numpy as np
     import jax
     import jax.numpy as jnp
+
+    if args.multihost:
+        jax.distributed.initialize()
 
     from ..config import UniMoEAudioConfig
     from ..models.model import init_model_params
