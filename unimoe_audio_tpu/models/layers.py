@@ -118,14 +118,14 @@ def attention(
     writes exactly positions [0, T), so attending over the fresh k/v
     equals attending over the cache window).
     """
-    from ..ops.quant import matmul
+    from ..ops.quant import matmul, proj_matmul
 
     B, T, Dm = x.shape
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    q = (matmul(x, params["q_proj"]["w"]) + params["q_proj"]["b"]).reshape(B, T, H, Dh)
-    k = (matmul(x, params["k_proj"]["w"]) + params["k_proj"]["b"]).reshape(B, T, KV, Dh)
-    v = (matmul(x, params["v_proj"]["w"]) + params["v_proj"]["b"]).reshape(B, T, KV, Dh)
+    q = (proj_matmul(x, params["q_proj"]) + params["q_proj"]["b"]).reshape(B, T, H, Dh)
+    k = (proj_matmul(x, params["k_proj"]) + params["k_proj"]["b"]).reshape(B, T, KV, Dh)
+    v = (proj_matmul(x, params["v_proj"]) + params["v_proj"]["b"]).reshape(B, T, KV, Dh)
     q, k = apply_rope(q, k, cos, sin)
 
     if cache_kv is not None:
@@ -153,7 +153,7 @@ def attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), window_valid, causal=True,
         ).transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
-        out = matmul(out, params["o_proj"]["w"])
+        out = proj_matmul(out, params["o_proj"])
         return out, cache_kv
 
     T_kv = k_all.shape[1]
@@ -178,7 +178,7 @@ def attention(
 
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     out = jnp.einsum("bkgts,bskd->btkgd", probs, v_all.astype(x.dtype)).reshape(B, T, H * Dh)
-    out = matmul(out, params["o_proj"]["w"])
+    out = proj_matmul(out, params["o_proj"])
     return out, cache_kv
 
 

@@ -52,6 +52,16 @@ def matmul(x: jnp.ndarray, w: WeightLike) -> jnp.ndarray:
     return x @ w.astype(x.dtype)
 
 
+def proj_matmul(x: jnp.ndarray, proj: Dict) -> jnp.ndarray:
+    """x @ proj['w'] (+ bias-free LoRA delta when lora_a/lora_b present —
+    see train/lora.py)."""
+    y = matmul(x, proj["w"])
+    if "lora_a" in proj:
+        delta = (x @ proj["lora_a"].astype(x.dtype)) @ proj["lora_b"].astype(x.dtype)
+        y = y + delta * proj["lora_scale"].astype(x.dtype)
+    return y
+
+
 def expert_einsum(spec: str, x: jnp.ndarray, w: WeightLike) -> jnp.ndarray:
     """einsum('ecd,edf->ecf'-style) for raw or quantized expert weights."""
     if isinstance(w, QTensor):
