@@ -308,6 +308,38 @@ class UniMoEAudio:
             eos_prob_mul_factor, do_sample, seed,
         )
 
+    def text_to_music_stream(
+        self,
+        caption: str,
+        *,
+        chunk_frames: int = 25,
+        cfg_scale: float = 10.0,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        cfg_filter_top_k: int = 45,
+        eos_prob_mul_factor: float = 0.6,
+        seed: Optional[int] = None,
+    ):
+        """Streaming T2M: yields {'frames', 'audio', 'done'} chunks while
+        decoding continues (capability beyond the reference — its demo only
+        streams status text, web_demo.py)."""
+        from .generate.streaming import generate_stream
+
+        neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+            "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
+        pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+            "<|MUSIC_START|>" + caption + "<|MUSIC_END|>") + AUDIO_START
+        ids, mask = self._tokenize([neg, pos])
+        rng = jax.random.PRNGKey(seed if seed is not None else 0)
+        yield from generate_stream(
+            self.params, self.config, ids, mask, None, rng,
+            max_tokens=self.MAX_TOKENS, min_tokens=self.MIN_TOKENS,
+            chunk_frames=chunk_frames, cfg_scale=cfg_scale,
+            temperature=temperature, top_p=top_p,
+            cfg_filter_top_k=cfg_filter_top_k,
+            eos_prob_mul_factor=eos_prob_mul_factor, dac=self.dac,
+        )
+
     def text_to_speech(
         self,
         caption: Union[str, List[str]] = None,

@@ -77,6 +77,12 @@ class Dac:
         assert codes.shape[1] == self.config.n_codebooks and codes.ndim == 2
         return codes.tolist()
 
+    def decode_array(self, codes) -> np.ndarray:
+        """codes [1, n_codebooks, T] → waveform np [1, T·hop] (no file I/O —
+        the streaming path's building block)."""
+        codes = jnp.asarray(np.asarray(codes))
+        return np.asarray(self._decode(self.params, codes))[0]
+
     def decode(self, codes, save_path: str, min_duration: Optional[float] = None) -> np.ndarray:
         """codes [1, n_codebooks, T] → writes 16-bit wav, returns waveform."""
         codes = jnp.asarray(np.asarray(codes))

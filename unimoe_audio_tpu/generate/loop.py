@@ -58,7 +58,7 @@ class _LoopState(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "max_tokens", "cfg_filter_top_k", "do_sample", "dispatch_mode",
-        "debug_guidance_step",
+        "debug_guidance_step", "return_state",
     ),
 )
 def generate_jit(
@@ -74,7 +74,10 @@ def generate_jit(
     visual_mask: Optional[jnp.ndarray] = None,     # [2B, T_text] 1 = vision slot
     prefill_position_ids: Optional[jnp.ndarray] = None,  # [3, 2B, T_text] mRoPE
     guidance_labels: Optional[jnp.ndarray] = None,  # [B, buf_len, C] delayed labels
+    resume_state: Optional[_LoopState] = None,  # continue a chunked decode
+    stop_at: Optional[jnp.ndarray] = None,      # pause the loop at this step
     *,
+    return_state: bool = False,
     debug_guidance_step: int = 0,
     max_tokens: int,
     min_tokens: jnp.ndarray,         # scalar int32
@@ -97,48 +100,50 @@ def generate_jit(
     T_total = T_text + max_tokens + 2
     buf_len = prefill_buf.shape[1]
 
-    # ---------------- prefill ----------------
-    inputs_embeds = calculate_input_embedding(
-        params, input_ids, codec_input_ids, cfg.codec_placeholder_value
-    )
-    if visual_embeds is not None:
-        # Vision features scatter into their placeholder slots (reference:
-        # utils/UniMoE_Audio_model.py:730-751 masked_scatter).
-        inputs_embeds = jnp.where(
-            visual_mask[..., None] > 0, visual_embeds.astype(inputs_embeds.dtype),
-            inputs_embeds,
+    # ---------------- prefill (skipped when resuming a chunked decode) ----
+    if resume_state is None:
+        inputs_embeds = calculate_input_embedding(
+            params, input_ids, codec_input_ids, cfg.codec_placeholder_value
         )
-    if prefill_position_ids is not None:
-        position_ids = prefill_position_ids
-    else:
-        pos = jnp.cumsum(attention_mask, axis=-1) - 1
-        pos = jnp.where(attention_mask == 0, 1, pos)
-        position_ids = jnp.broadcast_to(pos[None], (3, B2, T_text))
+        if visual_embeds is not None:
+            # Vision features scatter into their placeholder slots (reference:
+            # utils/UniMoE_Audio_model.py:730-751 masked_scatter).
+            inputs_embeds = jnp.where(
+                visual_mask[..., None] > 0, visual_embeds.astype(inputs_embeds.dtype),
+                inputs_embeds,
+            )
+        if prefill_position_ids is not None:
+            position_ids = prefill_position_ids
+        else:
+            pos = jnp.cumsum(attention_mask, axis=-1) - 1
+            pos = jnp.where(attention_mask == 0, 1, pos)
+            position_ids = jnp.broadcast_to(pos[None], (3, B2, T_text))
 
-    cache = KVCache.create(
-        tc.num_hidden_layers, B2, T_total, tc.num_key_value_heads, tc.head_dim,
-        dtype=inputs_embeds.dtype,
-    )
-    kv_valid = jnp.concatenate(
-        [attention_mask.astype(jnp.int32), jnp.zeros((B2, T_total - T_text), jnp.int32)], axis=-1
-    )
-    out = text_model_forward(
-        params, inputs_embeds, position_ids, tc,
-        kv_cache=cache,
-        cache_position=jnp.int32(0),
-        kv_valid_mask=kv_valid,
-        padding_token_mask=attention_mask,
-        dispatch_mode=dispatch_mode,
-    )
-    cache = out.kv_cache
+        cache = KVCache.create(
+            tc.num_hidden_layers, B2, T_total, tc.num_key_value_heads, tc.head_dim,
+            dtype=inputs_embeds.dtype,
+        )
+        kv_valid = jnp.concatenate(
+            [attention_mask.astype(jnp.int32), jnp.zeros((B2, T_total - T_text), jnp.int32)], axis=-1
+        )
+        out = text_model_forward(
+            params, inputs_embeds, position_ids, tc,
+            kv_cache=cache,
+            cache_position=jnp.int32(0),
+            kv_valid_mask=kv_valid,
+            padding_token_mask=attention_mask,
+            dispatch_mode=dispatch_mode,
+        )
+        cache = out.kv_cache
 
     text_lens = jnp.sum(attention_mask, axis=-1)  # [2B]
     start_step = jnp.min(prefill_steps) - 1
+    stop_step = max_tokens if stop_at is None else jnp.minimum(stop_at, max_tokens)
 
     # ---------------- decode loop ----------------
     def cond_fn(s: _LoopState):
         return jnp.logical_and(
-            s.dec_step < max_tokens, jnp.logical_not(jnp.all(s.eos_countdown == 0))
+            s.dec_step < stop_step, jnp.logical_not(jnp.all(s.eos_countdown == 0))
         )
 
     def body_fn(s: _LoopState):
@@ -264,17 +269,20 @@ def generate_jit(
             guidance_count=g_count,
         )
 
-    init = _LoopState(
-        dec_step=start_step,
-        buf=prefill_buf,
-        cache=cache,
-        eos_detected=jnp.zeros((B,), dtype=bool),
-        eos_countdown=jnp.full((B,), -1, dtype=jnp.int32),
-        finished_step=jnp.full((B,), -1, dtype=jnp.int32),
-        rng=rng,
-        guidance_loss=jnp.float32(0),
-        guidance_count=jnp.int32(0),
-    )
+    if resume_state is not None:
+        init = resume_state
+    else:
+        init = _LoopState(
+            dec_step=start_step,
+            buf=prefill_buf,
+            cache=cache,
+            eos_detected=jnp.zeros((B,), dtype=bool),
+            eos_countdown=jnp.full((B,), -1, dtype=jnp.int32),
+            finished_step=jnp.full((B,), -1, dtype=jnp.int32),
+            rng=rng,
+            guidance_loss=jnp.float32(0),
+            guidance_count=jnp.int32(0),
+        )
     final = jax.lax.while_loop(cond_fn, body_fn, init)
 
     # ---------------- length accounting + repack ----------------
@@ -296,10 +304,13 @@ def generate_jit(
     # Any never-written sentinel (-1) also becomes PAD.
     codes = jnp.where(codes == -1, pad, codes)
 
-    return GenerateResult(
+    result = GenerateResult(
         codes=codes, lengths=lengths, steps=final.dec_step - start_step,
         guidance_loss=final.guidance_loss / jnp.maximum(final.guidance_count, 1),
     )
+    if return_state:
+        return result, final
+    return result
 
 
 def pad_buffer(prefill: jnp.ndarray, max_tokens: int) -> jnp.ndarray:
