@@ -143,37 +143,16 @@ def vision_block(p: Dict, x: jnp.ndarray, cos, sin, attn_mask: jnp.ndarray,
     return x
 
 
-def vision_forward(
-    params: Dict,
-    pixel_patches: jnp.ndarray,   # [S, in_ch·tps·ps·ps] flattened patches
-    grid_thw: np.ndarray,         # [n, 3] host array
-    cfg: VisionConfig,
-) -> jnp.ndarray:
-    """Full tower: patch embed → window shuffle → blocks → merger → unshuffle.
+import functools
 
-    Returns [S/merge², out_hidden] features in the ORIGINAL patch order
-    (reference forward, utils/UniMoE_Audio_utils.py:856-900).
-    """
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _tower_core(params, patches, cos, sin, win_mask, full_mask, widx, reverse, cfg):
+    """Device portion of the tower — jitted, compiled once per patch count."""
     m2 = cfg.spatial_merge_size ** 2
-    S = pixel_patches.shape[0]
-
-    # Patch embed: conv3d with kernel==stride ≡ matmul on flattened patches.
-    x = pixel_patches.astype(params["patch_embed"].dtype) @ params["patch_embed"]
-
-    pos = rot_pos_ids(grid_thw, cfg.spatial_merge_size)          # [S, 2]
-    widx, wid = window_index(grid_thw, cfg)                      # [S/m2]
-    # Window shuffle in merged units.
+    S = patches.shape[0]
+    x = patches.astype(params["patch_embed"].dtype) @ params["patch_embed"]
     x = x.reshape(S // m2, m2, -1)[widx].reshape(S, -1)
-    pos = pos.reshape(S // m2, m2, 2)[widx].reshape(S, 2)
-    cos, sin = _vision_rope(jnp.asarray(pos), cfg.head_dim)
-
-    # Per-patch window ids / sample ids after the shuffle.
-    wid_patch = np.repeat(wid, m2)
-    sid_patch = np.repeat(
-        sample_ids_merged(grid_thw, cfg.spatial_merge_size)[widx], m2
-    )
-    win_mask = jnp.asarray(wid_patch[:, None] == wid_patch[None, :])
-    full_mask = jnp.asarray(sid_patch[:, None] == sid_patch[None, :])
 
     for i, blk in enumerate(params["blocks"]):
         mask = full_mask if i in cfg.fullatt_block_indexes else win_mask
@@ -186,10 +165,42 @@ def vision_forward(
     h = h @ params["merger"]["fc1"]["w"] + params["merger"]["fc1"]["b"]
     h = jax.nn.gelu(h, approximate=False)
     h = h @ params["merger"]["fc2"]["w"] + params["merger"]["fc2"]["b"]
+    return h[reverse]
 
-    # Undo the window shuffle.
-    reverse = np.argsort(widx)
-    return h[jnp.asarray(reverse)]
+
+def vision_forward(
+    params: Dict,
+    pixel_patches: jnp.ndarray,   # [S, in_ch·tps·ps·ps] flattened patches
+    grid_thw: np.ndarray,         # [n, 3] host array
+    cfg: VisionConfig,
+) -> jnp.ndarray:
+    """Full tower: patch embed → window shuffle → blocks → merger → unshuffle.
+
+    Returns [S/merge², out_hidden] features in the ORIGINAL patch order
+    (reference forward, utils/UniMoE_Audio_utils.py:856-900).  Index/mask
+    computation is host-side (data-dependent); the tower itself is one
+    jitted program per patch-count shape.
+    """
+    m2 = cfg.spatial_merge_size ** 2
+    S = pixel_patches.shape[0]
+
+    pos = rot_pos_ids(grid_thw, cfg.spatial_merge_size)          # [S, 2]
+    widx, wid = window_index(grid_thw, cfg)                      # [S/m2]
+    pos = pos.reshape(S // m2, m2, 2)[widx].reshape(S, 2)
+    cos, sin = _vision_rope(jnp.asarray(pos), cfg.head_dim)
+
+    wid_patch = np.repeat(wid, m2)
+    sid_patch = np.repeat(
+        sample_ids_merged(grid_thw, cfg.spatial_merge_size)[widx], m2
+    )
+    win_mask = jnp.asarray(wid_patch[:, None] == wid_patch[None, :])
+    full_mask = jnp.asarray(sid_patch[:, None] == sid_patch[None, :])
+    reverse = jnp.asarray(np.argsort(widx))
+
+    return _tower_core(
+        params, pixel_patches, cos, sin, win_mask, full_mask,
+        jnp.asarray(widx), reverse, cfg,
+    )
 
 
 def sample_ids_merged(grid_thw: np.ndarray, m: int) -> np.ndarray:
