@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import pickle
 import time
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Union
 
 import numpy as np
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import pickle
 import re
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict
 
 import numpy as np
 

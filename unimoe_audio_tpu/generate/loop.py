@@ -13,7 +13,7 @@ utils/UniMoE_Audio_model.py:945).
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

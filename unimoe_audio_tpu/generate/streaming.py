@@ -11,7 +11,7 @@ executable.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator
 
 import jax
 import jax.numpy as jnp

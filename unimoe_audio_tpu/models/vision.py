@@ -19,7 +19,7 @@ numpy per call — shapes are data-dependent and tiny.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Matmul identity used everywhere:  x @ (q·s) == (x @ q) · s  (s per column).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Union
+from typing import Dict, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp

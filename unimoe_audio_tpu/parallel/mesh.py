@@ -16,7 +16,7 @@ no group bookkeeping anywhere.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import numpy as np

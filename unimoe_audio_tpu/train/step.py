@@ -10,7 +10,6 @@ param_specs and XLA inserts the psums).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

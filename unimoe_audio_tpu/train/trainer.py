@@ -11,8 +11,8 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Iterable, List, Optional
+from dataclasses import dataclass
+from typing import Any, Dict, Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,7 @@ import numpy as np
 
 from ..config import UniMoEAudioConfig
 from ..core.checkpoint import latest_step, restore_checkpoint, save_checkpoint
-from .step import TrainState, init_train_state, make_optimizer, train_step
+from .step import init_train_state, make_optimizer, train_step
 
 
 @dataclass
