@@ -21,7 +21,9 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         width = f.getsampwidth()
         raw = f.readframes(f.getnframes())
     if width == 2:
-        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        from . import native
+
+        data = native.pcm16_to_f32(np.frombuffer(raw, dtype="<i2"))
     elif width == 4:
         data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
     elif width == 1:
@@ -43,11 +45,12 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
     """Write float [T] or [channels, T] as 16-bit PCM WAV (the reference's
     PCM_S encoding, utils/UniMoE_Audio_utils.py:134)."""
+    from . import native
+
     audio = np.asarray(audio, dtype=np.float32)
     if audio.ndim == 1:
         audio = audio[None, :]
-    pcm = np.clip(audio, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2")
+    pcm = native.f32_to_pcm16(audio)
     with wave.open(path, "wb") as f:
         f.setnchannels(pcm.shape[0])
         f.setsampwidth(2)
@@ -56,9 +59,19 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
 
 
 def resample(audio: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
-    """Polyphase resampling (replaces torchaudio.transforms.Resample)."""
+    """Polyphase resampling (replaces torchaudio.transforms.Resample).
+    1-D inputs route through the native hostlib resampler; otherwise scipy."""
     if sr_from == sr_to:
-        return audio
+        return np.asarray(audio, dtype=np.float32)
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 1:
+        from . import native
+
+        return native.resample(audio, sr_from, sr_to)
+    if audio.ndim == 2 and audio.shape[0] <= 8:
+        from . import native
+
+        return np.stack([native.resample(ch, sr_from, sr_to) for ch in audio])
     from math import gcd
 
     from scipy.signal import resample_poly
