@@ -93,3 +93,16 @@ def test_training_mode_runs_and_differentiable(setup):
     assert gn["fixed"]["down"] > 0
     flat, _ = jax.tree.flatten(jax.tree.map(lambda a: jnp.isfinite(a).all(), g))
     assert all(bool(v) for v in flat)
+
+
+def test_top_k_fallback_mode(setup):
+    """mlp_dynamic_top_p == 0 → fixed top-k routing (reference:
+    utils/UniMoE_Audio_core.py:254-257)."""
+    import dataclasses
+    cfg, params, x = setup
+    cfg2 = dataclasses.replace(cfg, mlp_dynamic_top_p=0.0, mlp_dynamic_top_k=2)
+    out = dcmoe_block(params, x, cfg2)
+    k = np.asarray(out.router_top_k)
+    assert (k == 2).all()
+    mask = np.asarray(out.expert_mask)
+    assert (mask[:, : cfg2.num_dynamic_experts].sum(-1) == 2).all()

@@ -179,6 +179,11 @@ def dcmoe_block(
     else:
         raise ValueError(f"Unknown dispatch_mode: {dispatch_mode}")
 
+    if not training and cfg.avg_hidden_states_last and dispatch_mode == "ep":
+        # Eval-time smoothing across the expert-parallel group (reference:
+        # all_reduce AVG, utils/UniMoE_Audio_core.py:355-357).
+        out = jax.lax.pmean(out, ep_axis)
+
     # Fixed (shared) experts: dense over all tokens, weighted
     # (reference: utils/UniMoE_Audio_core.py:344-351).
     if cfg.mlp_fixed_expert_num > 0:
