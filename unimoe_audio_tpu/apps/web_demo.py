@@ -89,11 +89,18 @@ async function go(){
 
 class StudioServer:
     def __init__(self, model, *, output_dir: Optional[str] = None,
-                 cleanup_age_s: int = 3600):
+                 cleanup_age_s: int = 3600, batch_requests: bool = True):
         self.model = model
         self.output_dir = output_dir or tempfile.mkdtemp(prefix="unimoe_studio_")
         os.makedirs(self.output_dir, exist_ok=True)
         self._start_cleanup_thread(cleanup_age_s)
+        self.batcher = None
+        if batch_requests:
+            from .batcher import RequestBatcher
+
+            # Concurrent music requests coalesce into one generation batch
+            # (aggregate RTF scales with batch size — see bench.py).
+            self.batcher = RequestBatcher(model, output_dir=self.output_dir)
 
     # Background temp cleanup (reference: web_demo.py:150-216).
     def _start_cleanup_thread(self, max_age: int):
@@ -117,8 +124,12 @@ class StudioServer:
         t0 = time.time()
         save = f"web_{int(t0)}"
         if mode == "music":
-            paths = self.model.text_to_music(text, save_name=save,
-                                             output_dir=self.output_dir)
+            if self.batcher is not None:
+                fut = self.batcher.submit("text_to_music", {"caption": text})
+                paths = [fut.result()]
+            else:
+                paths = self.model.text_to_music(text, save_name=save,
+                                                 output_dir=self.output_dir)
         elif mode == "voice_clone":
             paths = self.model.text_to_speech(
                 text, prompt_text=req.get("ref_text", ""),

@@ -112,6 +112,18 @@ class Trainer:
                 max_to_keep=self.tcfg.max_to_keep,
             )
 
+    def save_pretrained(self, out_dir: str) -> None:
+        """Export an inference checkpoint dir (model.jax.pkl + config.json)
+        that UniMoEAudio loads directly — the reference's epoch-save
+        callback surface (training_utils.py:61-90)."""
+        import pickle
+
+        os.makedirs(out_dir, exist_ok=True)
+        params_np = jax.tree.map(lambda a: np.asarray(a), self.state.params)
+        with open(os.path.join(out_dir, "model.jax.pkl"), "wb") as f:
+            pickle.dump({"params": params_np, "config": self.cfg.to_dict()}, f)
+        self.cfg.save_json(os.path.join(out_dir, "config.json"))
+
     # -- vision preprocessing ---------------------------------------------
     def _prepare_vision_batch(self, batch: Dict) -> Dict:
         """Fuse image features into inputs_embeds OUTSIDE the jitted step
