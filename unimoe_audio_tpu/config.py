@@ -61,6 +61,12 @@ class TextMoEConfig:
     attention_dropout: float = 0.0
     initializer_range: float = 0.02
     tie_word_embeddings: bool = False
+    # Sliding-window attention (reference carries these through the HF mask
+    # mapping, utils/UniMoE_Audio_model.py:370-383; the shipped checkpoint
+    # uses full attention everywhere, utils/config.json:78-115,146).
+    use_sliding_window: bool = False
+    sliding_window: Optional[int] = None
+    layer_types: Optional[Tuple[str, ...]] = None  # per-layer 'full_attention'/'sliding_attention'
 
     # DCMoE hyperparameters (reference: utils/UniMoE_Audio_core.py:202-234)
     mlp_dynamic_expert_num: int = 8
@@ -94,6 +100,17 @@ class TextMoEConfig:
             object.__setattr__(self, "mrope_section", tuple(self.mrope_section))
         if isinstance(self.mlp_dynamic_top_k, float):
             object.__setattr__(self, "mlp_dynamic_top_k", int(self.mlp_dynamic_top_k))
+        if isinstance(self.layer_types, list):
+            object.__setattr__(self, "layer_types", tuple(self.layer_types))
+
+    @property
+    def has_sliding_layers(self) -> bool:
+        return bool(
+            self.use_sliding_window
+            and self.sliding_window
+            and self.layer_types
+            and "sliding_attention" in self.layer_types
+        )
 
     @property
     def num_dynamic_experts(self) -> int:

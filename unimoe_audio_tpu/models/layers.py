@@ -104,6 +104,7 @@ def attention(
     kv_valid_mask: Optional[jnp.ndarray] = None,   # [B, T_kv] 1=attendable
     causal: bool = True,
     use_flash: Optional[bool] = None,
+    is_sliding: Optional[jnp.ndarray] = None,      # traced bool: window this layer
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """GQA attention (q/k/v with bias, o without — Qwen2.5 layout).
 
@@ -167,14 +168,19 @@ def attention(
     neg = jnp.float32(-1e30)
     if kv_valid_mask is not None:
         scores = jnp.where(kv_valid_mask[:, None, None, None, :] > 0, scores, neg)
-    if causal and cache_kv is None:
-        causal_mask = jnp.tril(jnp.ones((T, T_kv), dtype=bool), k=T_kv - T)
-        scores = jnp.where(causal_mask[None, None, None], scores, neg)
-    elif causal and cache_kv is not None and T > 1:
-        # Prefill into cache: position t may attend cache slots <= start + t.
-        key_pos = jnp.arange(T_kv)[None, :]
-        q_pos = cache_position + jnp.arange(T)[:, None]
+    # Positional masks: causal, plus the optional per-layer sliding window
+    # (reference mask mapping, utils/UniMoE_Audio_model.py:370-383).
+    key_pos = jnp.arange(T_kv)[None, :]
+    if cache_kv is None:
+        q_pos = jnp.arange(T)[:, None] + (T_kv - T)
+    else:
+        q_pos = (cache_position if cache_position is not None else 0) + jnp.arange(T)[:, None]
+    if causal and (cache_kv is None or T > 1):
         scores = jnp.where((key_pos <= q_pos)[None, None, None], scores, neg)
+    if is_sliding is not None and cfg.sliding_window:
+        in_window = (q_pos - key_pos) < cfg.sliding_window
+        allowed = jnp.where(is_sliding, in_window, jnp.ones_like(in_window))
+        scores = jnp.where(allowed[None, None, None], scores, neg)
 
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     out = jnp.einsum("bkgts,bskd->btkgd", probs, v_all.astype(x.dtype)).reshape(B, T, H * Dh)

@@ -84,8 +84,19 @@ def text_model_forward(
     )
     use_cache = kv_cache is not None
 
+    # Per-layer sliding-window flags (reference layer_types mapping,
+    # utils/UniMoE_Audio_model.py:370-383); flash doesn't window, so it is
+    # disabled for models that use sliding layers.
+    if cfg.has_sliding_layers:
+        sliding_flags = jnp.asarray(
+            [t == "sliding_attention" for t in cfg.layer_types], dtype=bool
+        )
+        use_flash = False
+    else:
+        sliding_flags = jnp.zeros((L,), dtype=bool)
+
     def layer_fn(h, xs):
-        lp, layer_rng, cache_k, cache_v = xs
+        lp, layer_rng, is_sliding, cache_k, cache_v = xs
         residual = h
         hn = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
         attn_out, new_cache = attention(
@@ -94,6 +105,7 @@ def text_model_forward(
             cache_position=cache_position,
             kv_valid_mask=kv_valid_mask,
             use_flash=use_flash,
+            is_sliding=is_sliding if cfg.has_sliding_layers else None,
         )
         h = residual + attn_out
         residual = h
@@ -125,6 +137,7 @@ def text_model_forward(
     xs = (
         params["layers"],
         layer_rngs,
+        sliding_flags,
         kv_cache.k if use_cache else jnp.zeros((L, 0)),
         kv_cache.v if use_cache else jnp.zeros((L, 0)),
     )
