@@ -5,7 +5,7 @@ Runs the full jitted generation loop (prefill + AR decode with CFG pairs,
 KV cache, delay-pattern EOS machine) on the shipped checkpoint's
 architecture (36 layers, 2048 hidden, 8+1+2-expert Top-P DCMoE — SURVEY.md
 §2.6) in the int8 weight-only serving configuration (ops/quant.py;
-per-channel scales, near-lossless) with 24 concurrent streams, and reports
+per-channel scales, near-lossless) with 48 concurrent streams, and reports
 RTF = generated-audio-seconds per wall-second per chip at the codec's
 50 frames/s.  Each stream individually still runs ≥1× real time.
 
@@ -33,7 +33,7 @@ def main():
     from unimoe_audio_tpu.ops.quant import quantize_model_params_inplace
 
     FRAME_RATE = 50.0  # DAC 16 kHz: 50 codec frames/s (utils/config.json:8-22)
-    B = 24
+    B = 48
     T_text = 32
     max_tokens = 150
 

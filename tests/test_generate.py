@@ -157,3 +157,51 @@ def test_teacher_forcing_guidance(setup):
     # rows not overwritten by the EOS countdown match the labels
     agree = (forced == want).mean()
     assert agree > 0.5, agree
+
+
+def test_sampler_topk_fast_path_matches_reference_semantics():
+    """The top-k fast path must induce the same distribution support and
+    probabilities as the reference's mask→softmax→nucleus pipeline
+    (utils/UniMoE_Audio_model.py:893-914)."""
+    import torch
+    from unimoe_audio_tpu.generate.sampler import sample_next_token
+
+    rng = np.random.default_rng(0)
+    N, V, K = 24, 101, 12
+    logits = rng.normal(size=(N, V)).astype(np.float32) * 2
+    temperature, top_p, eos = 0.9, 0.8, 97
+
+    # Reference pipeline in torch → kept-token set + final probs.
+    t = torch.tensor(logits) / temperature
+    top_idx = t.argmax(-1)
+    mask_eos = torch.zeros_like(t, dtype=torch.bool)
+    mask_eos[top_idx != eos, eos] = True
+    t = t.masked_fill(mask_eos, float("-inf"))
+    kth = torch.topk(t, K, dim=-1).values[:, -1:]
+    t = t.masked_fill(t < kth, float("-inf"))
+    probs = torch.softmax(t, dim=-1)
+    sp, si = torch.sort(probs, descending=True, dim=-1)
+    cs = sp.cumsum(-1)
+    rm = torch.roll(cs > top_p, 1, dims=-1)
+    rm[:, 0] = False
+    remove = torch.zeros_like(rm).scatter(-1, si, rm)
+    t = t.masked_fill(remove, float("-inf"))
+    want_probs = torch.softmax(t, dim=-1).numpy()
+
+    # Estimate the fast path's distribution by sampling.
+    draws = 4000
+    counts = np.zeros((N, V))
+    for i in range(0, draws, 500):
+        keys = jax.random.split(jax.random.PRNGKey(i), 500)
+        for j in range(500):
+            s = np.asarray(sample_next_token(
+                keys[j], jnp.asarray(logits), temperature=temperature,
+                top_p=top_p, top_k=K, audio_eos_value=eos))
+            counts[np.arange(N), s] += 1
+        break  # 500 draws is enough for support + coarse probs
+    emp = counts / counts.sum(-1, keepdims=True)
+    # Support must match exactly.
+    assert ((emp > 0) <= (want_probs > 1e-9)).all(), "sampled outside support"
+    # High-probability tokens roughly match.
+    big = want_probs > 0.2
+    assert np.abs(emp[big] - want_probs[big]).max() < 0.12

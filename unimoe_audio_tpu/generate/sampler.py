@@ -42,10 +42,22 @@ def sample_next_token(
         logits = jnp.where(suppress, NEG_INF, logits)
 
     if top_k is not None and top_k < V:
-        kth = jnp.sort(logits, axis=-1)[:, V - top_k][:, None]
-        logits = jnp.where(logits < kth, NEG_INF, logits)
+        # Work entirely inside the top-k subset: tokens outside it are
+        # masked regardless, and lax.top_k returns values sorted descending
+        # — so the nucleus cumsum runs over k elements instead of two full
+        # V-wide sorts (big VPU win in the decode loop: k=45 vs V=1027).
+        top_vals, top_ids = jax.lax.top_k(logits, top_k)  # sorted desc
+        # softmax over the k kept values == the reference's renormalized
+        # probabilities after the top-k mask (softmax of masked logits).
+        top_probs = jax.nn.softmax(top_vals, axis=-1)
+        csum = jnp.cumsum(top_probs, axis=-1)
+        keep = jnp.roll(csum <= top_p, 1, axis=-1).at[:, 0].set(True)
+        keep = keep | (jnp.float32(top_p) >= 1.0)
+        sub_logits = jnp.where(keep, top_vals, NEG_INF)
+        choice = jax.random.categorical(rng, sub_logits, axis=-1)  # [N] in [0,k)
+        return jnp.take_along_axis(top_ids, choice[:, None], axis=-1)[:, 0]
 
-    # Nucleus filter (dynamic top_p; no-op when top_p >= 1).
+    # No top-k: nucleus over the full vocabulary.
     probs = jax.nn.softmax(logits, axis=-1)
     order = jnp.argsort(-probs, axis=-1, stable=True)
     sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
