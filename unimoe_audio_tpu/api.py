@@ -77,6 +77,20 @@ class UniMoEAudio:
             model_path, dtype=dtype, allow_random=allow_random, config=config
         )
         self.tokenizer = tokenizer or self._load_tokenizer(model_path)
+        if self.tokenizer is None and allow_random:
+            # Self-contained dev mode: hash-vocab tokenizer with the special
+            # tokens mapped onto this config's ids.
+            from .train.data import SimpleTokenizer
+
+            special = {t: 100 + i for i, t in enumerate(SPECIAL_TOKENS)}
+            special["<|AUDIO_PLACEHOLDER|>"] = self.config.codec_placeholder_value
+            special["<|vision_start|>"] = self.config.vision_start_token_id
+            special["<|vision_end|>"] = self.config.vision_end_token_id
+            special["<|video_pad|>"] = self.config.video_token_id
+            self.tokenizer = SimpleTokenizer(
+                vocab_size=min(self.config.text_config.vocab_size, 10000),
+                special=special,
+            )
         self.dac = self._load_dac(model_path, dac_weights, allow_random)
         self._compiled_shapes = set()
 
