@@ -102,3 +102,12 @@ def test_checkpoint_variant_kwargs(model, tmp_path):
 def test_empty_caption_rejected(model):
     assert model.text_to_music("") == []
     assert model.text_to_speech("", prompt_text="x", prompt_wav=None) == []
+
+
+def test_audio_seconds_do_not_leak_across_calls(model, tmp_path):
+    """max_audio_seconds is per-call: a TTS cap must not shrink later T2M
+    generations (regression: the alias used to mutate MAX_TOKENS)."""
+    before = (model.MAX_TOKENS, model.MIN_TOKENS)
+    model.text_to_music("capped", output_dir=str(tmp_path), seed=7,
+                        max_audio_seconds=1, min_audio_seconds=0.1)
+    assert (model.MAX_TOKENS, model.MIN_TOKENS) == before

@@ -215,8 +215,12 @@ class UniMoEAudio:
         visual_embeds: Optional[np.ndarray] = None,
         visual_mask: Optional[np.ndarray] = None,
         prefill_position_ids: Optional[np.ndarray] = None,
+        max_tokens: Optional[int] = None,
+        min_tokens: Optional[int] = None,
     ) -> List[str]:
         cfg = self.config
+        max_tokens = max_tokens or self.MAX_TOKENS
+        min_tokens = min_tokens or self.MIN_TOKENS
         batch_size = input_ids.shape[0] // 2
 
         prefill, prefill_steps = dl.prepare_audio_prompt(
@@ -225,7 +229,7 @@ class UniMoEAudio:
             bos_value=cfg.codec_bos_value,
             delay_pattern=cfg.codec_delay_pattern,
         )
-        buf = pad_buffer(prefill, self.MAX_TOKENS)
+        buf = pad_buffer(prefill, max_tokens)
 
         aligned = None
         if codec_input_ids is not None:
@@ -241,8 +245,8 @@ class UniMoEAudio:
             jnp.asarray(visual_embeds) if visual_embeds is not None else None,
             jnp.asarray(visual_mask) if visual_mask is not None else None,
             jnp.asarray(prefill_position_ids) if prefill_position_ids is not None else None,
-            max_tokens=self.MAX_TOKENS,
-            min_tokens=jnp.int32(self.MIN_TOKENS),
+            max_tokens=max_tokens,
+            min_tokens=jnp.int32(min_tokens),
             cfg_scale=jnp.float32(cfg_scale),
             temperature=jnp.float32(temperature),
             top_p=jnp.float32(top_p),
@@ -294,11 +298,10 @@ class UniMoEAudio:
     ) -> List[str]:
         """Text-to-music (reference: utils/UniMoE_Audio_mod.py:294-366;
         max/min_audio_seconds aliases from the checkpoint variant,
-        UniMoE_Audio.py:156-170, at 50 frames/s)."""
-        if max_audio_seconds is not None:
-            self.MAX_TOKENS = int(max_audio_seconds * 50)
-        if min_audio_seconds is not None:
-            self.MIN_TOKENS = int(min_audio_seconds * 50)
+        UniMoE_Audio.py:156-170, at 50 frames/s; per-call only — they do
+        not change the instance defaults)."""
+        mt = int(max_audio_seconds * 50) if max_audio_seconds is not None else None
+        mn = int(min_audio_seconds * 50) if min_audio_seconds is not None else None
         caption = [caption] if isinstance(caption, str) else [c for c in caption if c.strip()]
         if not caption or not all(c.strip() for c in caption):
             print("Please enter a music description.")
@@ -320,6 +323,7 @@ class UniMoEAudio:
             ids, mask, None, save_name, rebuild_codec, output_dir,
             cfg_scale, temperature, top_p, cfg_filter_top_k,
             eos_prob_mul_factor, do_sample, seed,
+            max_tokens=mt, min_tokens=mn,
         )
 
     def text_to_music_stream(
@@ -381,10 +385,8 @@ class UniMoEAudio:
         checkpoint-variant spellings, UniMoE_Audio.py:105-118)."""
         caption = caption if caption is not None else transcription
         prompt_text = prompt_text if prompt_text is not None else prompt_transcription
-        if max_audio_seconds is not None:
-            self.MAX_TOKENS = int(max_audio_seconds * 50)
-        if min_audio_seconds is not None:
-            self.MIN_TOKENS = int(min_audio_seconds * 50)
+        mt = int(max_audio_seconds * 50) if max_audio_seconds is not None else None
+        mn = int(min_audio_seconds * 50) if min_audio_seconds is not None else None
         caption = [caption] if isinstance(caption, str) else [c for c in caption if c.strip()]
         if not caption or not all(c.strip() for c in caption):
             print("Please enter the target text.")
@@ -426,6 +428,7 @@ class UniMoEAudio:
             ids, mask, flat, save_name, rebuild_codec, output_dir,
             cfg_scale, temperature, top_p, cfg_filter_top_k,
             eos_prob_mul_factor, do_sample, seed,
+            max_tokens=mt, min_tokens=mn,
         )
 
     def video_text_to_music(
