@@ -205,3 +205,23 @@ def test_sampler_topk_fast_path_matches_reference_semantics():
     # High-probability tokens roughly match.
     big = want_probs > 0.2
     assert np.abs(emp[big] - want_probs[big]).max() < 0.12
+
+
+def test_generate_unequal_voice_prompts(setup):
+    """Two samples with different prompt lengths: decode starts at
+    min(prefill)-1 and the longer prompt's rows win the mask-merge
+    (reference: bos_over logic, utils/UniMoE_Audio_model.py:1199-1202)."""
+    cfg, params = setup
+    C = cfg.codec_channels
+    p1 = np.full((2, C), 5, dtype=np.int32)
+    p2 = np.full((6, C), 9, dtype=np.int32)
+    res, steps = run_generate(cfg, params, B=2, max_tokens=20,
+                              prompts=[p1, p2], seed=3)
+    assert steps == [3, 7]
+    codes = np.asarray(res.codes)
+    assert codes.shape == (2, 20, C)
+    assert (codes >= 0).all() and (codes < cfg.codec_embed_size).all()
+    # Deterministic with the same seed.
+    res2, _ = run_generate(cfg, params, B=2, max_tokens=20,
+                           prompts=[p1, p2], seed=3)
+    np.testing.assert_array_equal(codes, np.asarray(res2.codes))
