@@ -39,7 +39,14 @@ def get_model_info():
 
 if not os.environ.get("UNIMOE_AUDIO_QUIET"):
     # One-line banner (reference prints a larger one, utils/__init__.py:282).
-    pass
+    # stderr so programmatic stdout (bench.py's JSON line) stays clean.
+    import sys as _sys
+
+    print(
+        f"UniMoE-Audio TPU v{__version__} — jax/xla/pallas · "
+        "set UNIMOE_AUDIO_QUIET=1 to silence",
+        file=_sys.stderr,
+    )
 
 
 def load_model(model_path: str, **kwargs):

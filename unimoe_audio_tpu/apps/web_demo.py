@@ -24,6 +24,35 @@ import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 
+# Predefined showcase examples (reference: web_demo.py:103-138).
+PREDEFINED_EXAMPLES = {
+    "music-jazz": {
+        "mode": "music",
+        "description": "Generate upbeat jazz music",
+        "text": "A vibrant swing jazz tune featuring a walking bassline, "
+                "rhythmic ride cymbals, and an improvised saxophone solo.",
+    },
+    "music-lofi": {
+        "mode": "music",
+        "description": "Chill lo-fi hip hop beats",
+        "text": "A chill lo-fi hip hop beat with mellow rhodes piano chords, "
+                "a simple boom-bap drum loop, and a deep relaxed bassline.",
+    },
+    "voice-greeting": {
+        "mode": "tts_preset",
+        "description": "Preset-voice greeting",
+        "text": "Welcome to the world of UniMoE Audio! Let's explore the "
+                "possibilities of AI audio together.",
+        "voice": "en_male",
+    },
+    "video-cinematic": {
+        "mode": "video_music",
+        "description": "Cinematic background music from video",
+        "text": "Epic cinematic orchestral music with dramatic crescendos "
+                "and emotional depth.",
+    },
+}
+
 PRESET_VOICES = {
     "en_female": ("They're calling to us not to give up and to keep on fighting!",
                   "assets/prompt_audios/en_female.wav"),
@@ -66,6 +95,7 @@ _PAGE = """<!doctype html>
 </div>
 </fieldset>
 <button onclick="go()">Generate</button>
+<fieldset><legend>Examples</legend>%EXAMPLES%</fieldset>
 <div id=status></div>
 <audio id=player controls style="width:100%%;margin-top:1rem;display:none"></audio>
 <script>
@@ -73,6 +103,8 @@ function sw(){const m=document.getElementById('mode').value;
  clone.style.display=m=='voice_clone'?'':'none';
  preset.style.display=m=='tts_preset'?'':'none';
  video.style.display=m=='video_music'?'':'none';}
+function pick(m,t,v){document.getElementById('mode').value=m;
+ text.value=t; if(v) voice.value=v; sw();}
 async function go(){
  const m=document.getElementById('mode').value;
  status.textContent='Generating…';player.style.display='none';
@@ -175,7 +207,17 @@ class StudioServer:
                     opts = "".join(
                         f"<option value={k}>{k}</option>" for k in PRESET_VOICES
                     )
-                    self._send(200, _PAGE.replace("%OPTS%", opts), "text/html")
+                    ex = "".join(
+                        "<button onclick=\"pick('{m}',{t!r},{v!r})\">{d}</button> ".format(
+                            m=e["mode"], t=e["text"], v=e.get("voice", ""),
+                            d=e["description"],
+                        )
+                        for e in PREDEFINED_EXAMPLES.values()
+                    )
+                    page = _PAGE.replace("%OPTS%", opts).replace("%EXAMPLES%", ex)
+                    self._send(200, page, "text/html")
+                elif path == "/api/examples":
+                    self._send(200, json.dumps(PREDEFINED_EXAMPLES))
                 elif path.startswith("/audio/"):
                     name = os.path.basename(path[len("/audio/"):])
                     fp = os.path.join(studio.output_dir, name)
