@@ -183,3 +183,18 @@ def test_resample_preserves_tone(tmp_path):
     spec = np.abs(np.fft.rfft(out[0]))
     freq = np.fft.rfftfreq(out.shape[-1], 1 / sr_to)
     assert abs(freq[np.argmax(spec)] - 440) < 5
+
+
+def test_encode_array_matches_encode(tmp_path, dac_setup):
+    cfg, params, _ = dac_setup
+    from unimoe_audio_tpu.codec.dac_wrapper import Dac
+    d = Dac(allow_random=True, config=cfg)
+    d.params = params
+    sr = cfg.sample_rate
+    t = np.linspace(0, 0.2, int(sr * 0.2), dtype=np.float32)
+    wav = 0.4 * np.sin(2 * np.pi * 250 * t)
+    path = str(tmp_path / "a.wav")
+    audio_io.write_wav(path, wav[None], sr)
+    via_file = np.asarray(d.encode(path))
+    via_array = d.encode_array(np.asarray(audio_io.read_wav(path)[0]), sr)
+    np.testing.assert_array_equal(via_file, via_array)

@@ -99,3 +99,20 @@ def test_generate_output_strips_delay_and_slices():
     assert outs[0].shape == (5, 4) and outs[1].shape == (9, 4)
     want = np_revert_delay(codes, -1, DELAY)[:, : 15 - max(DELAY), :]
     np.testing.assert_array_equal(outs[1], want[1, :9])
+
+
+def test_flagship_delay_pattern_round_trip():
+    """The shipped 12-channel pattern [0,8..18] (utils/config.json:9-22)."""
+    pattern = [0, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18]
+    rng = np.random.default_rng(9)
+    T, C = 60, 12
+    audio = rng.integers(0, 1024, size=(2, T, C)).astype(np.int32)
+    delayed = dl.apply_audio_delay(jnp.asarray(audio), pad_value=1025,
+                                   bos_value=1026, delay_pattern=pattern)
+    back = np.asarray(dl.revert_audio_delay(delayed, pad_value=1025,
+                                            delay_pattern=pattern))
+    np.testing.assert_array_equal(back[:, : T - 18], audio[:, : T - 18])
+    # BOS run-in length equals each channel's delay.
+    d = np.asarray(delayed)
+    for c, dc in enumerate(pattern):
+        assert (d[:, :dc, c] == 1026).all()

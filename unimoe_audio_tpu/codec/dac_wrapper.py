@@ -65,6 +65,17 @@ class Dac:
             candidates.append(os.path.join(root, "dac_model", "weights_16khz.jax.pkl"))
         return next((p for p in candidates if p and os.path.isfile(p)), None)
 
+    def encode_array(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
+        """Raw waveform [T] or [C, T] → codes [T_frames, n_codebooks]
+        (array-input twin of encode(), for streaming/serving ingest)."""
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim == 1:
+            audio = audio[None]
+        audio = audio_io.to_mono(audio)
+        audio = audio_io.resample(audio, sample_rate, self.config.sample_rate)
+        codes = self._encode(self.params, jnp.asarray(audio[None]))
+        return np.asarray(codes)[0].T
+
     def encode(self, audio_path: str) -> List[List[int]]:
         """wav file → [T][n_codebooks] code list (the reference's return
         layout, utils/UniMoE_Audio_utils.py:115-119)."""
