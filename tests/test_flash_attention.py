@@ -51,3 +51,26 @@ def test_flash_left_padding_mask():
     got = flash_attention(q, k, v, valid, interpret=True)
     want = ref_attn(q, k, v, valid)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_flash_gradients_match_reference():
+    """custom_vjp backward (XLA recompute) == gradients of the reference
+    attention — the training path at T>=128 differentiates through flash."""
+    B, H, KV, T, Dh = 1, 4, 2, 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    q = jax.random.normal(ks[0], (B, H, T, Dh), dtype=jnp.float32) * 0.3
+    k = jax.random.normal(ks[1], (B, KV, T, Dh), dtype=jnp.float32) * 0.3
+    v = jax.random.normal(ks[2], (B, KV, T, Dh), dtype=jnp.float32)
+    valid = jnp.ones((B, T), jnp.int32)
+    co = jax.random.normal(ks[3], (B, H, T, Dh), dtype=jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, valid, interpret=True) * co)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(ref_attn(q, k, v, valid) * co)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)

@@ -83,6 +83,48 @@ def _flash_kernel(
         o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
 
 
+def _reference_attention(q, k, v, kv_valid, causal):
+    """Pure-XLA attention with identical semantics (used for the backward
+    pass and as a numerical oracle)."""
+    B, H, T, Dh = q.shape
+    KV, S = k.shape[1], k.shape[2]
+    g = H // KV
+    kk = jnp.repeat(k, g, axis=1)
+    vv = jnp.repeat(v, g, axis=1)
+    s = jnp.einsum("bhtd,bhsd->bhts", q, kk).astype(jnp.float32) * Dh ** -0.5
+    s = jnp.where(kv_valid[:, None, None, :] > 0, s, NEG_INF)
+    if causal:
+        s = jnp.where(jnp.tril(jnp.ones((T, S), bool), k=S - T)[None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", p, vv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_with_vjp(q, k, v, kv_valid, causal, bq, bk, interpret):
+    return _flash_forward(q, k, v, kv_valid, causal, bq, bk, interpret)
+
+
+def _flash_vjp_fwd(q, k, v, kv_valid, causal, bq, bk, interpret):
+    out = _flash_forward(q, k, v, kv_valid, causal, bq, bk, interpret)
+    return out, (q, k, v, kv_valid)
+
+
+def _flash_vjp_bwd(causal, bq, bk, interpret, res, g):
+    # Backward recomputes attention in XLA and differentiates that — exact
+    # gradients (same math), flash speed on the forward; a fused backward
+    # kernel is a future optimization.
+    q, k, v, kv_valid = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _reference_attention(q_, k_, v_, kv_valid, causal),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_with_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
 @functools.partial(
     jax.jit, static_argnames=("causal", "bq", "bk", "interpret")
 )
@@ -96,6 +138,25 @@ def flash_attention(
     bq: int = 512,
     bk: int = 512,
     interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention with exact gradients (Pallas forward + XLA-recompute
+    backward).  See _flash_forward for layout details."""
+    B, S = q.shape[0], k.shape[2]
+    if kv_valid is None:
+        kv_valid = jnp.ones((B, S), dtype=jnp.int32)
+    return _flash_with_vjp(q, k, v, kv_valid.astype(jnp.int32),
+                           causal, bq, bk, interpret)
+
+
+def _flash_forward(
+    q: jnp.ndarray,            # [B, H, T, Dh]
+    k: jnp.ndarray,            # [B, KV, S, Dh]
+    v: jnp.ndarray,            # [B, KV, S, Dh]
+    kv_valid: jnp.ndarray,     # [B, S] 1 = attendable
+    causal: bool,
+    bq: int,
+    bk: int,
+    interpret: bool,
 ) -> jnp.ndarray:
     """Returns [B, H, T, Dh].  T and S are padded to block multiples
     internally; GQA maps query head h → kv head (h % H) // (H/KV)."""
