@@ -68,6 +68,7 @@ def text_model_forward(
     output_router_stats: bool = False,
     remat: bool = False,
     use_flash: Optional[bool] = None,
+    hidden_sharding=None,
 ) -> TextModelOutput:
     """36-layer decoder stack as one lax.scan over stacked layer params.
 
@@ -120,6 +121,12 @@ def text_model_forward(
             capacity=capacity,
         )
         h = residual + moe_out.hidden_states
+        if hidden_sharding is not None:
+            # Activation sequence sharding (Megatron-SP style, beyond the
+            # reference): constrain [B, T, D] between blocks so elementwise
+            # regions shard over the given axes; GSPMD inserts the
+            # gather/scatter collectives around attention.
+            h = jax.lax.with_sharding_constraint(h, hidden_sharding)
         ys = {
             "aux_loss": moe_out.aux_loss,
             "top_k": moe_out.router_top_k,
