@@ -23,7 +23,7 @@ import time
 from concurrent.futures import Future
 from typing import Dict, List, Optional
 
-_BUCKETS = (1, 2, 4, 8, 16)
+_BUCKETS = (1, 2, 4, 8, 16, 32, 48)
 
 
 def _bucket(n: int) -> int:
@@ -35,7 +35,7 @@ def _bucket(n: int) -> int:
 
 class RequestBatcher:
     def __init__(self, model, *, window_s: float = 0.1, output_dir: str = "./served",
-                 max_batch: int = 16):
+                 max_batch: int = 48):
         self.model = model
         self.window_s = window_s
         self.output_dir = output_dir
