@@ -10,7 +10,7 @@ from unimoe_audio_tpu.config import tiny_test_config
 
 
 def test_bucket():
-    assert [_bucket(n) for n in (1, 2, 3, 5, 9, 40)] == [1, 2, 4, 8, 16, 16]
+    assert [_bucket(n) for n in (1, 2, 3, 5, 9, 40, 99)] == [1, 2, 4, 8, 16, 48, 48]
 
 
 def test_concurrent_t2m_batching(tmp_path):
