@@ -70,8 +70,8 @@ class UniMoEAudio:
         min_tokens: Optional[int] = None,
     ):
         del device_id  # JAX targets the default device; kept for API parity
-        self.MAX_TOKENS = max_tokens or UniMoEAudio.MAX_TOKENS
-        self.MIN_TOKENS = min_tokens or UniMoEAudio.MIN_TOKENS
+        self.MAX_TOKENS = max_tokens if max_tokens is not None else UniMoEAudio.MAX_TOKENS
+        self.MIN_TOKENS = min_tokens if min_tokens is not None else UniMoEAudio.MIN_TOKENS
 
         self.config, self.params = self._load_model(
             model_path, dtype=dtype, allow_random=allow_random, config=config
@@ -219,8 +219,8 @@ class UniMoEAudio:
         min_tokens: Optional[int] = None,
     ) -> List[str]:
         cfg = self.config
-        max_tokens = max_tokens or self.MAX_TOKENS
-        min_tokens = min_tokens or self.MIN_TOKENS
+        max_tokens = max_tokens if max_tokens is not None else self.MAX_TOKENS
+        min_tokens = min_tokens if min_tokens is not None else self.MIN_TOKENS
         batch_size = input_ids.shape[0] // 2
 
         prefill, prefill_steps = dl.prepare_audio_prompt(

@@ -78,23 +78,41 @@ class RequestBatcher:
             t2m = [(p, f) for t, p, f in items if t == "text_to_music"]
             other = [(t, p, f) for t, p, f in items if t != "text_to_music"]
 
-            if t2m:
-                captions = [p["caption"] for p, _ in t2m]
-                # Pad to a bucket so the compiled batch shape is reused.
+            # Reject empty captions up front — text_to_music silently filters
+            # them, which would misalign batch results across callers.
+            valid_t2m = []
+            for p, fut in t2m:
+                if not str(p.get("caption", "")).strip():
+                    fut.set_exception(ValueError("empty caption"))
+                else:
+                    valid_t2m.append((p, fut))
+
+            # Only requests with IDENTICAL generation params may share a
+            # batch; others run as separate groups.
+            groups = {}
+            for p, fut in valid_t2m:
+                key = tuple(sorted((k, v) for k, v in p.items() if k != "caption"))
+                groups.setdefault(key, []).append((p, fut))
+
+            for group in groups.values():
+                captions = [p["caption"] for p, _ in group]
                 b = _bucket(len(captions))
                 padded = captions + [captions[-1]] * (b - len(captions))
                 try:
                     paths = self.model.text_to_music(
                         padded, output_dir=self.output_dir,
                         save_name=f"batch_{int(time.time() * 1e3)}",
-                        **{k: v for p, _ in t2m[:1]
-                           for k, v in p.items() if k not in ("caption",)},
+                        **{k: v for k, v in group[0][0].items()
+                           if k != "caption"},
                     )
-                    for i, (_, fut) in enumerate(t2m):
-                        fut.set_result(paths[i])
+                    assert len(paths) >= len(group), "batch result misaligned"
+                    for i, (_, fut) in enumerate(group):
+                        if not fut.done():
+                            fut.set_result(paths[i])
                 except Exception as e:  # noqa: BLE001
-                    for _, fut in t2m:
-                        fut.set_exception(e)
+                    for _, fut in group:
+                        if not fut.done():
+                            fut.set_exception(e)
 
             for t, p, fut in other:
                 try:

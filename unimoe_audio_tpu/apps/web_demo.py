@@ -69,7 +69,7 @@ _PAGE = """<!doctype html>
 <style>
  body{font-family:system-ui;margin:2rem auto;max-width:780px;color:#222}
  fieldset{margin:1rem 0;border:1px solid #ccc;border-radius:8px}
- textarea,input,select{width:100%%;margin:.3rem 0;padding:.4rem}
+ textarea,input,select{width:100%;margin:.3rem 0;padding:.4rem}
  button{padding:.6rem 1.4rem;margin-top:.5rem;cursor:pointer}
  #status{margin-top:1rem;white-space:pre-wrap;font-family:monospace}
 </style></head><body>
@@ -97,7 +97,7 @@ _PAGE = """<!doctype html>
 <button onclick="go()">Generate</button>
 <fieldset><legend>Examples</legend>%EXAMPLES%</fieldset>
 <div id=status></div>
-<audio id=player controls style="width:100%%;margin-top:1rem;display:none"></audio>
+<audio id=player controls style="width:100%;margin-top:1rem;display:none"></audio>
 <script>
 function sw(){const m=document.getElementById('mode').value;
  clone.style.display=m=='voice_clone'?'':'none';

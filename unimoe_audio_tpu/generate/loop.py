@@ -126,6 +126,10 @@ def generate_jit(
         kv_valid = jnp.concatenate(
             [attention_mask.astype(jnp.int32), jnp.zeros((B2, T_total - T_text), jnp.int32)], axis=-1
         )
+        prefill_flash = (
+            T_text >= 128 and jax.default_backend() in ("tpu", "axon")
+            and not tc.has_sliding_layers
+        )
         out = text_model_forward(
             params, inputs_embeds, position_ids, tc,
             kv_cache=cache,
@@ -133,6 +137,9 @@ def generate_jit(
             kv_valid_mask=kv_valid,
             padding_token_mask=attention_mask,
             dispatch_mode=dispatch_mode,
+            # cache_position==0 prefill: the fresh window holds every
+            # attendable key, so the flash path is safe here.
+            use_flash=True if prefill_flash else None,
         )
         cache = out.kv_cache
 

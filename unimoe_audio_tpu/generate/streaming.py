@@ -81,9 +81,13 @@ def generate_stream(
         done = bool(np.asarray(state.eos_countdown == 0).all()) or dec_step >= max_tokens
 
         # Frames final so far: the EOS machine may still rewrite the last
-        # max_delay steps, so hold those back until done.
+        # max_delay steps, so hold those back until done.  At done, trim to
+        # the true audio length — the final max_delay countdown steps carry
+        # EOS/PAD, not audio (the batch path drops them via lengths +
+        # the [:-max_delay] strip in generate_output).
         produced = dec_step - start            # delayed-domain steps decoded
-        safe = produced if done else max(0, produced - max_delay)
+        lengths = np.asarray(res.lengths)
+        safe = int(lengths.max()) if done else max(0, produced - max_delay)
         if safe > emitted:
             # Revert the delay over [emitted, safe) with lookahead.
             codes = np.asarray(res.codes)      # [B, max_tokens, C], PAD-filled
@@ -94,7 +98,12 @@ def generate_stream(
                 jnp.asarray(window), pad_value=cfg.codec_pad_value,
                 delay_pattern=cfg.codec_delay_pattern,
             ))[:, : safe - emitted]
-            out = {"frames": reverted, "done": done}
+            # Per-sample trim: silence frames past each stream's length.
+            frame_idx = np.arange(lo, lo + reverted.shape[1])
+            over = frame_idx[None, :, None] >= lengths[:, None, None]
+            reverted = np.where(over, 0, reverted)
+            out = {"frames": reverted, "done": done,
+                   "lengths": np.minimum(lengths, lo + reverted.shape[1])}
             if dac is not None:
                 chunks = []
                 for b in range(B):

@@ -136,8 +136,13 @@ def attention(
         k_all, v_all = k, v
 
     if use_flash is None:
+        # Auto mode never applies flash in cache mode: the flash window only
+        # covers the fresh k/v block, which is correct solely for a
+        # cache_position==0 prefill — callers that guarantee that (the
+        # generate loop's prefill) opt in with use_flash=True.
         use_flash = (
-            T >= 128 and causal and jax.default_backend() in ("tpu", "axon")
+            T >= 128 and causal and cache_kv is None
+            and jax.default_backend() in ("tpu", "axon")
         )
     if use_flash and T > 1 and causal:
         # Self-attention window through the Pallas flash kernel.  With a

@@ -258,6 +258,7 @@ def get_rope_index(
         ids = input_ids[b][attention_mask[b] == 1]
         toks = ids.tolist()
         vis_starts = np.where(ids == cfg.vision_start_token_id)[0]
+        vis_starts = vis_starts[vis_starts + 1 < len(ids)]  # drop dangling span
         vis_kinds = ids[vis_starts + 1] if len(vis_starts) else np.array([])
         n_images = int((vis_kinds == cfg.image_token_id).sum())
         n_videos = int((vis_kinds == cfg.video_token_id).sum())

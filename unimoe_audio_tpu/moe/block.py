@@ -50,6 +50,7 @@ def dcmoe_block(
     rng: Optional[jax.Array] = None,
     dispatch_mode: str = "dense",
     capacity: Optional[int] = None,
+    assignment_budget: Optional[int] = None,
     ep_axis: str = "expert",
 ) -> MoEOutput:
     """Forward pass of the DCMoE block.
@@ -172,9 +173,11 @@ def dcmoe_block(
             axis_name=ep_axis,
         )
     elif dispatch_mode == "gmm":
+        # NB: gmm's budget counts TOTAL (token, expert) assignments — a
+        # different unit from the per-expert `capacity` knob.
         out = D.moe_ffn_gmm(
             x_orig, real_mask, real_w, params["dynamic"],
-            assignment_budget=capacity,
+            assignment_budget=assignment_budget,
         )
     else:
         raise ValueError(f"Unknown dispatch_mode: {dispatch_mode}")

@@ -30,7 +30,7 @@ _STAT = 128  # lane width for the running-stat scratch
 def _flash_kernel(
     q_ref, k_ref, v_ref, mask_ref, o_ref,
     m_scr, l_scr, acc_scr,
-    *, scale: float, bq: int, bk: int, causal: bool,
+    *, scale: float, bq: int, bk: int, causal: bool, q_offset: int,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -44,7 +44,9 @@ def _flash_kernel(
 
     q_start = qi * bq
     k_start = ki * bk
-    live_pred = (k_start <= q_start + bq - 1) if causal else True
+    # Rectangular q/k: query i sits at absolute key position i + q_offset
+    # (q_offset = S - T for a suffix window).
+    live_pred = (k_start <= q_start + bq - 1 + q_offset) if causal else True
 
     @pl.when(live_pred)
     def _compute():
@@ -60,7 +62,7 @@ def _flash_kernel(
         kv_valid = mask_ref[0, 0] > 0              # [bk]
         s = jnp.where(kv_valid[None, :], s, NEG_INF)
         if causal:
-            q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            q_idx = q_start + q_offset + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
             k_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             s = jnp.where(k_idx <= q_idx, s, NEG_INF)
 
@@ -195,7 +197,8 @@ def _flash_forward(
 
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, bq=bq, bk=bk, causal=causal
+            _flash_kernel, scale=scale, bq=bq, bk=bk, causal=causal,
+            q_offset=S - T,
         ),
         grid=grid,
         in_specs=[
