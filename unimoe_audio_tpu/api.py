@@ -319,12 +319,15 @@ class UniMoEAudio:
                 + AUDIO_START
             )
         ids, mask = self._tokenize(text_input)
-        return self._generate_core(
+        t0 = time.time()
+        paths = self._generate_core(
             ids, mask, None, save_name, rebuild_codec, output_dir,
             cfg_scale, temperature, top_p, cfg_filter_top_k,
             eos_prob_mul_factor, do_sample, seed,
             max_tokens=mt, min_tokens=mn,
         )
+        print(f"Music generation completed! Time: {time.time() - t0:.2f}s")
+        return paths
 
     def text_to_music_stream(
         self,
@@ -424,12 +427,15 @@ class UniMoEAudio:
         # Flat codec rows repeated per CFG row (reference:
         # utils/UniMoE_Audio_mod.py:466).
         flat = np.tile(codec_ids, (len(text_input), 1))
-        return self._generate_core(
+        t0 = time.time()
+        paths = self._generate_core(
             ids, mask, flat, save_name, rebuild_codec, output_dir,
             cfg_scale, temperature, top_p, cfg_filter_top_k,
             eos_prob_mul_factor, do_sample, seed,
             max_tokens=mt, min_tokens=mn,
         )
+        print(f"Speech generation completed! Time: {time.time() - t0:.2f}s")
+        return paths
 
     def video_text_to_music(
         self,

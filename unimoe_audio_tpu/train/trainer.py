@@ -177,6 +177,12 @@ class Trainer:
             if step_no % self.tcfg.log_every == 0:
                 jax.block_until_ready(metrics["loss"])
                 metrics = {k: float(v) for k, v in metrics.items()}
+                if not np.isfinite(metrics["loss"]):
+                    # nan/inf filter (reference logging_nan_inf_filter,
+                    # moe_trainer.py:664-669) — flag loudly; the step was
+                    # already applied, so surface it for investigation.
+                    print(f"[warning] non-finite loss at step {step_no}: "
+                          f"{metrics['loss']}")
                 metrics["steps_per_sec"] = (i + 1) / (time.time() - t0)
                 self.logger.log(step_no, metrics)
                 history.append({"step": step_no, **metrics})
