@@ -36,3 +36,28 @@ def test_ttfa_harness():
     )
     stats = measure_ttfa(model, n_trials=2)
     assert stats["p50_ttfa_s"] > 0 and np.isfinite(stats["p50_ttfa_s"])
+
+
+def test_mesh_served_quantized_generation(tmp_path):
+    """int8 params shard onto the mesh (QTensor-aware specs) and serve."""
+    cfg = tiny_test_config(
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=2,
+        mlp_dynamic_expert_num=4, dynamic_intermediate_size=64,
+        shared_intermediate_size=32,
+    )
+    model = build_server(
+        None, ep_size=2, tp_size=2, allow_random=True, quantize=True,
+        tokenizer=StubTokenizer(cfg), config=cfg, max_tokens=12, min_tokens=4,
+    )
+    from unimoe_audio_tpu.ops.quant import QTensor
+    w = model.params["layers"]["attn"]["q_proj"]["w"]
+    assert isinstance(w, QTensor)
+    # q sharded over the model axis; scale follows where dims survive.
+    assert "model" in str(w.q.sharding.spec)
+    dyn = model.params["layers"]["moe"]["dynamic"]["down"]
+    assert "expert" in str(dyn.q.sharding.spec)
+    # down's scale has a size-1 dim where the weight sharded 'model' on F:
+    # the spec must drop it there.
+    assert "model" not in str(dyn.s.sharding.spec).split(",")[2]
+    paths = model.text_to_music("quantized served", output_dir=str(tmp_path), seed=0)
+    assert len(paths) == 1

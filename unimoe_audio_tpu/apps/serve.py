@@ -49,20 +49,11 @@ def build_server(model_path: Optional[str], *, ep_size: int = 1, tp_size: int = 
     if ep_size * tp_size > 1 or n_dev > 1:
         shape = default_mesh_shape(n_dev, ep_size, tp_size)
         mesh = make_mesh(*shape)
-        if quantize:
-            # int8 QTensor leaves don't fit the per-param specs yet:
-            # replicate across the mesh (correct, no EP/TP bandwidth win).
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            model.params = jax.tree.map(
-                lambda x: jax.device_put(x, NamedSharding(mesh, P())),
-                model.params,
-            )
-            print(f"serving on mesh {shape} with REPLICATED int8 params "
-                  "(sharded int8 specs land in a future round)")
-        else:
-            model.params = shard_params(model.params, mesh, model.config)
-            print(f"serving on mesh (data, expert, model) = {shape}")
+        # shard_params handles int8 QTensor leaves (scale specs derived
+        # from the weight specs).
+        model.params = shard_params(model.params, mesh, model.config)
+        print(f"serving on mesh (data, expert, model) = {shape}"
+              + (" [int8]" if quantize else ""))
     return model
 
 

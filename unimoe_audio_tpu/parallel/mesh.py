@@ -86,16 +86,33 @@ def param_specs(cfg: UniMoEAudioConfig) -> Dict:
 
 
 def shard_params(params: Dict, mesh: Mesh, cfg: UniMoEAudioConfig) -> Dict:
-    """Place a param pytree onto the mesh per param_specs."""
+    """Place a param pytree onto the mesh per param_specs.
+
+    Handles int8-quantized leaves (ops.quant.QTensor): the q tensor takes
+    the weight's spec; the per-channel scale keeps each spec entry only
+    where its dim survived the reduction (size-1 dims can't shard)."""
+    from ..ops.quant import QTensor
+
     specs = param_specs(cfg)
     if "vision" in params:
         # Vision tower (0.67B) replicates — it runs once per request.
         specs = dict(specs)
         specs["vision"] = jax.tree.map(lambda x: P(), params["vision"])
+
+    def place(x, s):
+        if isinstance(x, QTensor):
+            q = jax.device_put(x.q, NamedSharding(mesh, s))
+            s_spec = P(*[
+                ax if (i < x.s.ndim and x.s.shape[i] == x.q.shape[i]) else None
+                for i, ax in enumerate(s)
+            ]) if len(s) else P()
+            return QTensor(q=q, s=jax.device_put(x.s, NamedSharding(mesh, s_spec)))
+        return jax.device_put(x, NamedSharding(mesh, s))
+
     # tree.map flattens `specs` up to `params`' treedef, so each P lands whole
-    # at its matching array leaf.
+    # at its matching leaf; QTensor counts as a leaf here.
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+        place, params, specs, is_leaf=lambda x: isinstance(x, QTensor)
     )
 
 
