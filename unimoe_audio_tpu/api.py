@@ -215,6 +215,7 @@ class UniMoEAudio:
         visual_embeds: Optional[np.ndarray] = None,
         visual_mask: Optional[np.ndarray] = None,
         prefill_position_ids: Optional[np.ndarray] = None,
+        rope_deltas: Optional[np.ndarray] = None,
         max_tokens: Optional[int] = None,
         min_tokens: Optional[int] = None,
     ) -> List[str]:
@@ -245,6 +246,7 @@ class UniMoEAudio:
             jnp.asarray(visual_embeds) if visual_embeds is not None else None,
             jnp.asarray(visual_mask) if visual_mask is not None else None,
             jnp.asarray(prefill_position_ids) if prefill_position_ids is not None else None,
+            rope_deltas=jnp.asarray(rope_deltas, jnp.int32) if rope_deltas is not None else None,
             max_tokens=max_tokens,
             min_tokens=jnp.int32(min_tokens),
             cfg_scale=jnp.float32(cfg_scale),
@@ -529,7 +531,7 @@ class UniMoEAudio:
             )
             visual_embeds[r, slots] = all_feats[r]
 
-        position_ids, _ = get_rope_index(
+        position_ids, deltas = get_rope_index(
             ids, self.config, video_grid_thw=np.stack(grids),
             second_per_grid_ts=spgts, attention_mask=mask,
         )
@@ -541,6 +543,7 @@ class UniMoEAudio:
             visual_embeds=visual_embeds,
             visual_mask=visual_mask,
             prefill_position_ids=position_ids,
+            rope_deltas=deltas,
         )
 
 

@@ -77,6 +77,7 @@ def generate_jit(
     resume_state: Optional[_LoopState] = None,  # continue a chunked decode
     stop_at: Optional[jnp.ndarray] = None,      # pause the loop at this step
     *,
+    rope_deltas: Optional[jnp.ndarray] = None,  # [2B] or [2B, 1] mRoPE deltas
     return_state: bool = False,
     debug_guidance_step: int = 0,
     max_tokens: int,
@@ -143,7 +144,9 @@ def generate_jit(
         )
         cache = out.kv_cache
 
-    text_lens = jnp.sum(attention_mask, axis=-1)  # [2B]
+    step_pos_base = decode_position_base(
+        jnp.sum(attention_mask, axis=-1), T_text, rope_deltas
+    )  # [2B]
     start_step = jnp.min(prefill_steps) - 1
     stop_step = max_tokens if stop_at is None else jnp.minimum(stop_at, max_tokens)
 
@@ -165,7 +168,7 @@ def generate_jit(
         tokens_2B = jnp.repeat(tokens, 2, axis=0)  # CFG pairing
         emb = codec_embedding(params, tokens_2B)  # [2B, 1, D]
 
-        step_pos = (text_lens + rel)[None, :, None]  # [1, 2B, 1]
+        step_pos = (step_pos_base + rel)[None, :, None]  # [1, 2B, 1]
         position_ids = jnp.broadcast_to(step_pos, (3, B2, 1))
 
         key_idx = jnp.arange(T_total)[None, :]
@@ -318,6 +321,25 @@ def generate_jit(
     if return_state:
         return result, final
     return result
+
+
+def decode_position_base(
+    text_lens: jnp.ndarray,
+    T_text: int,
+    rope_deltas: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Per-sample mRoPE position of decode step rel=0.
+
+    After a vision prefill the reference continues decode positions as
+    cache_position + rope_deltas (reference: utils/UniMoE_Audio_model.py:769-791)
+    = max(llm_pos) + 1 + rel, because vision grid positions advance less than
+    their token count.  get_rope_index returns delta = max(llm_pos) + 1 - T_text,
+    so the continuation base is T_text + delta.  Without deltas (text-only /
+    TTS) that equals the attended text length, the round-1 formula.
+    """
+    if rope_deltas is None:
+        return text_lens
+    return jnp.int32(T_text) + rope_deltas.reshape(-1).astype(jnp.int32)
 
 
 def pad_buffer(prefill: jnp.ndarray, max_tokens: int) -> jnp.ndarray:

@@ -98,8 +98,10 @@ def preprocess_supervised(
         input_ids.append(bos)
         labels.append(label_ignore_index)
     if not adding_sys_in_query:
-        input_ids = encode(system_message)
-        labels = [label_ignore_index] * len(input_ids)
+        # Extend (not reassign) so a tokenizer-provided BOS survives.
+        sys_ids = encode(system_message)
+        input_ids += sys_ids
+        labels += [label_ignore_index] * len(sys_ids)
 
     for source, target in zip(sources, targets):
         if source and source[-1] in ("\n", "\t", " "):

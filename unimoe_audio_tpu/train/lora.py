@@ -12,6 +12,7 @@ adapters into the base for serving.
 
 from __future__ import annotations
 
+import zlib
 from typing import Dict, Sequence
 
 import jax
@@ -47,7 +48,10 @@ def add_lora(
                     shape = wshape(w)
                     L = shape[0] if len(shape) == 3 else None
                     din, dout = shape[-2], shape[-1]
-                    key = jax.random.fold_in(rng, hash((key_path, k)) % (2**31))
+                    # crc32 (not hash()): str hashing is salted per process,
+                    # which would make LoRA init differ across runs/hosts.
+                    digest = zlib.crc32("/".join(key_path + (k,)).encode())
+                    key = jax.random.fold_in(rng, digest % (2**31))
                     ka, _ = jax.random.split(key)
                     a_shape = (L, din, rank) if L else (din, rank)
                     b_shape = (L, rank, dout) if L else (rank, dout)

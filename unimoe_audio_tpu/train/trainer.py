@@ -168,7 +168,9 @@ class Trainer:
         history = []
         t0 = time.time()
         for i, batch in enumerate(batches):
-            step_no = int(self.state.step)
+            # Host-side counter: int(self.state.step) would force a device
+            # fetch (~30 ms over the axon tunnel) and serialize dispatch.
+            step_no = start + i
             if max_steps is not None and step_no >= max_steps:
                 break
             batch = self._prepare_vision_batch(batch)
