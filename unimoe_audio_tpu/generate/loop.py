@@ -58,7 +58,7 @@ class _LoopState(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "max_tokens", "cfg_filter_top_k", "do_sample", "dispatch_mode",
-        "debug_guidance_step", "return_state",
+        "debug_guidance_step", "return_state", "cache_len",
     ),
 )
 def generate_jit(
@@ -78,6 +78,7 @@ def generate_jit(
     stop_at: Optional[jnp.ndarray] = None,      # pause the loop at this step
     *,
     rope_deltas: Optional[jnp.ndarray] = None,  # [2B] or [2B, 1] mRoPE deltas
+    cache_len: Optional[int] = None,  # static KV buffer length override
     return_state: bool = False,
     debug_guidance_step: int = 0,
     max_tokens: int,
@@ -98,7 +99,14 @@ def generate_jit(
     eos, pad = cfg.codec_eos_value, cfg.codec_pad_value
     delay = jnp.asarray(cfg.codec_delay_pattern, dtype=jnp.int32)
     max_delay = cfg.max_delay
-    T_total = T_text + max_tokens + 2
+    # Each decode step streams the whole KV buffer (static shapes), so the
+    # buffer should be right-sized: generate_chunked grows it in chunks via
+    # cache_len instead of preallocating for max_tokens up front.
+    T_total = cache_len if cache_len is not None else T_text + max_tokens + 2
+    if resume_state is not None:
+        assert resume_state.cache.k.shape[1] == T_total, (
+            "resume cache length must match cache_len; pad it before resuming"
+        )
     buf_len = prefill_buf.shape[1]
 
     # ---------------- prefill (skipped when resuming a chunked decode) ----
@@ -321,6 +329,74 @@ def generate_jit(
     if return_state:
         return result, final
     return result
+
+
+def generate_chunked(
+    params: Dict,
+    cfg: UniMoEAudioConfig,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    codec_input_ids: Optional[jnp.ndarray],
+    prefill_buf: jnp.ndarray,
+    prefill_steps,
+    rng: jax.Array,
+    visual_embeds: Optional[jnp.ndarray] = None,
+    visual_mask: Optional[jnp.ndarray] = None,
+    prefill_position_ids: Optional[jnp.ndarray] = None,
+    guidance_labels: Optional[jnp.ndarray] = None,
+    *,
+    chunk_frames: int = 256,
+    **kwargs,
+) -> GenerateResult:
+    """generate_jit with a KV buffer that GROWS across decode chunks.
+
+    Every decode step streams the full static KV buffer, so preallocating
+    for max_tokens makes early steps read mostly-dead cache (and in-step
+    dynamic windows force XLA copies — see models/layers.py).  Instead the
+    decode runs in `chunk_frames`-step chunks via the resumable loop state;
+    each chunk's executable has a right-sized buffer, padded up between
+    chunks (one O(cache) copy per chunk, amortized over chunk_frames
+    steps).  Executables are keyed by the bucketed cache length, so long
+    generations reuse a handful of compiles.  Semantically identical to a
+    single generate_jit call.
+    """
+    import numpy as np
+
+    T_text = input_ids.shape[1]
+    max_tokens = kwargs.pop("max_tokens")
+    return_state = kwargs.pop("return_state", False)
+    steps_np = np.asarray(prefill_steps)
+    start = int(steps_np.min()) - 1
+    prefill_steps = jnp.asarray(steps_np, jnp.int32)
+
+    def bucket(n_frames: int) -> int:
+        return -(-(T_text + n_frames + 2) // chunk_frames) * chunk_frames
+
+    state = None
+    res = None
+    stop = start + chunk_frames
+    while True:
+        frames_bound = min(stop - start, max_tokens)
+        cache_len = bucket(frames_bound)
+        if state is not None and state.cache.k.shape[1] < cache_len:
+            pad = cache_len - state.cache.k.shape[1]
+            state = state._replace(cache=KVCache(
+                k=jnp.pad(state.cache.k, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0))),
+                v=jnp.pad(state.cache.v, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0))),
+            ))
+        res, state = generate_jit(
+            params, cfg, input_ids, attention_mask, codec_input_ids,
+            prefill_buf, prefill_steps, rng,
+            visual_embeds, visual_mask, prefill_position_ids,
+            guidance_labels, state, jnp.int32(min(stop, max_tokens)),
+            max_tokens=max_tokens, cache_len=cache_len, return_state=True,
+            **kwargs,
+        )
+        dec_step = int(state.dec_step)
+        done = bool(np.asarray(state.eos_countdown == 0).all()) or dec_step >= max_tokens
+        if done:
+            return (res, state) if return_state else res
+        stop += chunk_frames
 
 
 def decode_position_base(

@@ -68,12 +68,16 @@ def apply_rope(q, k, cos, sin):
 
 
 class KVCache(NamedTuple):
-    """Preallocated KV cache, layer-major: [L, B, T_max, KV_heads, Dh].
+    """Preallocated KV cache, TIME-major: [L, T_max, B, KV_heads, Dh].
 
     The model scans over the leading layer axis, so per-layer slices
-    [B, T_max, KV, Dh] thread through `lax.scan` as xs/ys — replacing the
+    [T_max, B, KV, Dh] thread through `lax.scan` as xs — replacing the
     reference's DynamicCache growth (utils/UniMoE_Audio_model.py:353-354)
-    with a static buffer + dynamic_update_slice.
+    with a static buffer + dynamic_update_slice.  Time-major so the decode
+    path's valid-prefix window [0, w) is a CONTIGUOUS leading slice — XLA
+    reads it as a view fused into the attention einsum instead of
+    materializing a windowed copy (measured ~5 ms/step dead traffic at
+    flagship shapes in the [B, T, ...] layout).
     """
 
     k: jnp.ndarray
@@ -81,14 +85,17 @@ class KVCache(NamedTuple):
 
     @classmethod
     def create(cls, num_layers, batch, max_len, kv_heads, head_dim, dtype=jnp.bfloat16):
-        shape = (num_layers, batch, max_len, kv_heads, head_dim)
+        shape = (num_layers, max_len, batch, kv_heads, head_dim)
         return cls(k=jnp.zeros(shape, dtype=dtype), v=jnp.zeros(shape, dtype=dtype))
 
 
 def update_cache_slice(cache_k, cache_v, k_new, v_new, start):
-    """Write [B, T_new, KV, Dh] into per-layer slices at time offset start."""
-    k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype), (0, start, 0, 0))
-    v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype), (0, start, 0, 0))
+    """Write [B, T_new, KV, Dh] into per-layer [T_max, B, KV, Dh] slices at
+    time offset start."""
+    k_t = jnp.swapaxes(k_new, 0, 1).astype(cache_k.dtype)
+    v_t = jnp.swapaxes(v_new, 0, 1).astype(cache_v.dtype)
+    k = jax.lax.dynamic_update_slice(cache_k, k_t, (start, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(cache_v, v_t, (start, 0, 0, 0))
     return k, v
 
 
@@ -105,6 +112,7 @@ def attention(
     causal: bool = True,
     use_flash: Optional[bool] = None,
     is_sliding: Optional[jnp.ndarray] = None,      # traced bool: window this layer
+    decode_emit: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """GQA attention (q/k/v with bias, o without — Qwen2.5 layout).
 
@@ -128,6 +136,61 @@ def attention(
     k = (proj_matmul(x, params["k_proj"]) + params["k_proj"]["b"]).reshape(B, T, KV, Dh)
     v = (proj_matmul(x, params["v_proj"]) + params["v_proj"]["b"]).reshape(B, T, KV, Dh)
     q, k = apply_rope(q, k, cos, sin)
+
+    if decode_emit:
+        # Decode fast path (T == 1): do NOT rewrite the cache here — attend
+        # over the existing cache (kv_valid_mask must exclude the current
+        # position) plus an explicit self-term, and hand the fresh k/v back
+        # so the caller batches one small cache write for all layers.  This
+        # keeps a lax.scan over layers from emitting a full cache copy as
+        # stacked ys every step (the round-1 decode bandwidth sink).
+        assert T == 1 and cache_kv is not None and kv_valid_mask is not None
+        k_all, v_all = cache_kv                     # [T_kv, B, KV, Dh]
+        T_kv = k_all.shape[0]
+        groups = H // KV
+        qg = q.reshape(B, KV, groups, Dh)           # T == 1 squeezed
+        scale = Dh ** -0.5
+        neg = jnp.float32(-1e30)
+        self_score = (jnp.einsum(
+            "bkgd,bkd->bkg", qg, k.reshape(B, KV, Dh).astype(qg.dtype)
+        ).astype(jnp.float32) * scale)              # [B, KV, g]
+
+        def window_mask(idx):
+            m = kv_valid_mask[:, idx] > 0           # [B, |idx|]
+            if is_sliding is not None and cfg.sliding_window:
+                in_w = (cache_position - idx) < cfg.sliding_window
+                m = m & jnp.where(is_sliding, in_w, jnp.ones_like(in_w))[None, :]
+            return m
+
+        def attend_window(w: int):
+            """Plain masked attention over the first `w` cache positions +
+            the self-term (valid keys always lie in [0, cache_position)).
+            Time-major cache AND time-major scores: the QK gemm contracts
+            the trailing Dh of both operands and the PV gemm contracts the
+            leading time dim of both — no operand transposes, so XLA reads
+            the [0:w] prefix as a fused view (the [B, T, ...] layout
+            measured ~5 ms/step of slice+transpose copies at flagship)."""
+            ks = k_all[:w]                          # [w, B, KV, Dh]
+            vs = v_all[:w]
+            s = jnp.einsum(
+                "sbkd,bkgd->sbkg", ks.astype(qg.dtype), qg
+            ).astype(jnp.float32) * scale           # [w, B, KV, g]
+            valid = window_mask(jnp.arange(w))      # [B, w]
+            s = jnp.where(valid.T[:, :, None, None], s, neg)
+            all_s = jnp.concatenate([s, self_score[None]], axis=0)
+            probs = jax.nn.softmax(all_s, axis=0).astype(x.dtype)
+            o = jnp.einsum("sbkg,sbkd->bkgd", probs[:w], vs.astype(x.dtype))
+            return o + probs[w][..., None] * v.reshape(B, KV, 1, Dh).astype(x.dtype)
+
+        # Always attend over the whole (right-sized) buffer: callers bound
+        # dead reads by growing the cache across decode CHUNKS
+        # (generate_chunked) rather than by in-step window selection —
+        # dynamic windows inside the layer scan cross a control-flow
+        # boundary, which forces XLA to materialize the sliced cache
+        # (measured ~5 ms/step of copy traffic at flagship shapes).
+        out = attend_window(T_kv)
+        out = proj_matmul(out.reshape(B, 1, H * Dh), params["o_proj"])
+        return out, (k, v)
 
     if cache_kv is not None:
         k_all, v_all = update_cache_slice(cache_kv[0], cache_kv[1], k, v, cache_position)
@@ -162,13 +225,18 @@ def attention(
         out = proj_matmul(out, params["o_proj"])
         return out, cache_kv
 
-    T_kv = k_all.shape[1]
+    # Cache tensors are time-major [T_kv, B, KV, Dh]; fresh self-attention
+    # k/v are [B, T, KV, Dh].
+    kv_spec = "bskd" if cache_kv is None else "sbkd"
+    T_kv = k_all.shape[1] if cache_kv is None else k_all.shape[0]
     groups = H // KV
     qg = q.reshape(B, T, KV, groups, Dh)
 
     scale = Dh ** -0.5
     # scores: [B, KV, groups, T, T_kv]
-    scores = jnp.einsum("btkgd,bskd->bkgts", qg, k_all.astype(qg.dtype)).astype(jnp.float32) * scale
+    scores = jnp.einsum(
+        f"btkgd,{kv_spec}->bkgts", qg, k_all.astype(qg.dtype)
+    ).astype(jnp.float32) * scale
 
     neg = jnp.float32(-1e30)
     if kv_valid_mask is not None:
@@ -188,7 +256,9 @@ def attention(
         scores = jnp.where(allowed[None, None, None], scores, neg)
 
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bkgts,bskd->btkgd", probs, v_all.astype(x.dtype)).reshape(B, T, H * Dh)
+    out = jnp.einsum(
+        f"bkgts,{kv_spec}->btkgd", probs, v_all.astype(x.dtype)
+    ).reshape(B, T, H * Dh)
     out = proj_matmul(out, params["o_proj"])
     return out, cache_kv
 

@@ -69,6 +69,7 @@ def text_model_forward(
     remat: bool = False,
     use_flash: Optional[bool] = None,
     hidden_sharding=None,
+    decode_emit: Optional[bool] = None,  # None = auto (cache and T == 1)
 ) -> TextModelOutput:
     """36-layer decoder stack as one lax.scan over stacked layer params.
 
@@ -96,6 +97,23 @@ def text_model_forward(
     else:
         sliding_flags = jnp.zeros((L,), dtype=bool)
 
+    # Decode fast path: with a cache and a single query position, the scan
+    # must not thread the full cache through ys (that stacks a complete
+    # cache copy every step — ~650 MB/step of dead HBM write at flagship
+    # shapes).  Each layer instead attends over the stale cache plus an
+    # explicit self-term and emits only its fresh [B, 1, KV, Dh] k/v; one
+    # batched dynamic_update_slice below commits all layers at once.
+    if decode_emit is None:
+        decode_emit = True
+    decode_emit = bool(
+        decode_emit and use_cache and T == 1 and cache_position is not None
+        and kv_valid_mask is not None
+    )
+    if decode_emit:
+        emit_valid = kv_valid_mask * (
+            jnp.arange(kv_cache.k.shape[1])[None, :] != cache_position
+        ).astype(kv_valid_mask.dtype)
+
     def layer_fn(h, xs):
         lp, layer_rng, is_sliding, cache_k, cache_v = xs
         residual = h
@@ -104,9 +122,10 @@ def text_model_forward(
             lp["attn"], hn, cos, sin, cfg,
             cache_kv=(cache_k, cache_v) if use_cache else None,
             cache_position=cache_position,
-            kv_valid_mask=kv_valid_mask,
+            kv_valid_mask=emit_valid if decode_emit else kv_valid_mask,
             use_flash=use_flash,
             is_sliding=is_sliding if cfg.has_sliding_layers else None,
+            decode_emit=decode_emit,
         )
         h = residual + attn_out
         residual = h
@@ -135,7 +154,10 @@ def text_model_forward(
             ys["router_logits"] = moe_out.router_logits
             ys["expert_mask"] = moe_out.expert_mask
         if use_cache:
-            ys["cache_k"], ys["cache_v"] = new_cache
+            if decode_emit:
+                ys["new_k"], ys["new_v"] = new_cache
+            else:
+                ys["cache_k"], ys["cache_v"] = new_cache
         return h, ys
 
     if remat:
@@ -151,7 +173,22 @@ def text_model_forward(
     h, ys = jax.lax.scan(layer_fn, inputs_embeds, xs)
     h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
 
-    new_cache = KVCache(k=ys["cache_k"], v=ys["cache_v"]) if use_cache else None
+    if use_cache and decode_emit:
+        zero = jnp.int32(0)
+        # ys["new_k"]: [L, B, 1, KV, Dh] → time-major [L, 1, B, KV, Dh].
+        start = (zero, cache_position.astype(jnp.int32), zero, zero, zero)
+        new_cache = KVCache(
+            k=jax.lax.dynamic_update_slice(
+                kv_cache.k,
+                jnp.swapaxes(ys["new_k"], 1, 2).astype(kv_cache.k.dtype), start),
+            v=jax.lax.dynamic_update_slice(
+                kv_cache.v,
+                jnp.swapaxes(ys["new_v"], 1, 2).astype(kv_cache.v.dtype), start),
+        )
+    elif use_cache:
+        new_cache = KVCache(k=ys["cache_k"], v=ys["cache_v"])
+    else:
+        new_cache = None
     return TextModelOutput(
         last_hidden_state=h,
         kv_cache=new_cache,
