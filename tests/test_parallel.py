@@ -86,3 +86,45 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(
         float(m_single["grad_norm"]), float(m_sharded["grad_norm"]), rtol=1e-3
     )
+
+
+def test_ep_mesh_no_full_remat_resharding():
+    """The dense combine must not force GSPMD's 'involuntary full
+    rematerialization' under an expert-sharded mesh (round-1 dryrun
+    warning): the compiled train step's HLO may contain all-to-all /
+    all-reduce collectives, but NO all-gather that materializes the full
+    global [E, S, D] expert-output tensor on every device."""
+    import re
+
+    cfg = tiny_test_config(
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=2,
+        mlp_dynamic_expert_num=4, dynamic_intermediate_size=64,
+        shared_intermediate_size=32,
+    )
+    mesh = make_mesh(1, 4, 1)  # pure expert sharding — the cliff's trigger
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params = shard_params(params, mesh, cfg)
+    opt = make_optimizer(learning_rate=1e-3, total_steps=10, warmup_steps=1)
+    state = init_train_state(params, opt)
+    B, T = 8, 8
+    batch = make_batch(cfg, B, T)
+    batch = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(("data", "expert"), *([None] * (x.ndim - 1))))
+        ),
+        batch,
+    )
+    step_fn = jax.jit(
+        lambda s, b, r: train_step(s, b, r, cfg=cfg, optimizer=opt, remat=True)
+    )
+    txt = step_fn.lower(state, batch, jax.random.PRNGKey(1)).compile().as_text()
+
+    assert "all-reduce" in txt  # grad sync / expert-combine psum exists
+    # Full remat = an all-gather producing the GLOBAL [E, S, D] tensor
+    # (E=4 real experts, S=B·T, D=hidden) replicated on every device.
+    full_shape = f"f32[4,{B * T},64]"
+    gathers = re.findall(r"= (\S+\[[^\]]*\])[^\n]*all-gather", txt)
+    assert full_shape not in gathers, (
+        f"full [E,S,D] all-gather found — the combine reshards by "
+        f"replication again: {gathers}"
+    )

@@ -169,3 +169,48 @@ def test_mixer_gradient_matches_reference_estimator():
             g = upstream[s, sel] * p[sel]
             want[s] += g * (np.eye(E)[sel] - p)
     np.testing.assert_allclose(grad, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed,jeps", [(0, 0.05), (1, 0.0), (2, 0.01), (3, 0.3)])
+def test_eval_mixer_closed_form_matches_scan(seed, jeps):
+    """sparse_expert_mixer_eval (one-sort closed form, the decode fast path)
+    == sparse_expert_mixer(training=False) in value AND gradient."""
+    S, E = 64, 8
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(size=(S, E)).astype(np.float32) * 2.0
+    # include exact ties to exercise stable tie-breaking
+    logits[0, :4] = 1.5
+    logits[1, :] = 0.0
+    top_k = rng.integers(1, E + 1, size=(S,)).astype(np.int32)
+
+    scan_res = R.sparse_expert_mixer(
+        jnp.asarray(logits), jnp.asarray(top_k), max_k=E, jitter_eps=jeps,
+        training=False,
+    )
+    fast_res = R.sparse_expert_mixer_eval(
+        jnp.asarray(logits), jnp.asarray(top_k), jitter_eps=jeps,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(scan_res.expert_mask), np.asarray(fast_res.expert_mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scan_res.routing_weights),
+        np.asarray(fast_res.routing_weights), rtol=1e-5, atol=1e-6,
+    )
+
+    upstream = rng.normal(size=(S, E)).astype(np.float32)
+
+    def loss(fn):
+        def f(x):
+            res = fn(x)
+            return jnp.sum(res.routing_weights * upstream)
+        return f
+
+    g_scan = jax.grad(loss(lambda x: R.sparse_expert_mixer(
+        x, jnp.asarray(top_k), max_k=E, jitter_eps=jeps, training=False)))(
+        jnp.asarray(logits))
+    g_fast = jax.grad(loss(lambda x: R.sparse_expert_mixer_eval(
+        x, jnp.asarray(top_k), jitter_eps=jeps)))(jnp.asarray(logits))
+    np.testing.assert_allclose(
+        np.asarray(g_scan), np.asarray(g_fast), rtol=1e-4, atol=1e-6
+    )

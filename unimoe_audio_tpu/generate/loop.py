@@ -59,6 +59,7 @@ class _LoopState(NamedTuple):
     static_argnames=(
         "cfg", "max_tokens", "cfg_filter_top_k", "do_sample", "dispatch_mode",
         "debug_guidance_step", "return_state", "cache_len",
+        "decode_dispatch_mode", "decode_capacity", "prefill_capacity",
     ),
 )
 def generate_jit(
@@ -90,6 +91,9 @@ def generate_jit(
     eos_prob_mul_factor: jnp.ndarray,  # scalar f32
     do_sample: bool = True,
     dispatch_mode: str = "dense",
+    decode_dispatch_mode: Optional[str] = None,  # None = dispatch_mode
+    decode_capacity: Optional[int] = None,       # static, for 'packed' decode
+    prefill_capacity: Optional[int] = None,      # static, for 'packed' prefill
 ) -> GenerateResult:
     tc = cfg.text_config
     B2, T_text = input_ids.shape
@@ -146,6 +150,7 @@ def generate_jit(
             kv_valid_mask=kv_valid,
             padding_token_mask=attention_mask,
             dispatch_mode=dispatch_mode,
+            capacity=prefill_capacity,
             # cache_position==0 prefill: the fresh window holds every
             # attendable key, so the flash path is safe here.
             use_flash=True if prefill_flash else None,
@@ -191,7 +196,8 @@ def generate_jit(
             kv_cache=s.cache,
             cache_position=cache_pos,
             kv_valid_mask=kv_valid,
-            dispatch_mode=dispatch_mode,
+            dispatch_mode=decode_dispatch_mode or dispatch_mode,
+            capacity=decode_capacity,
         )
         hidden = step_out.last_hidden_state  # [2B, 1, D]
         logits = codec_logits_from_hidden(params, hidden, cfg)[:, 0]  # [2B, C, Vc]

@@ -98,14 +98,21 @@ def dcmoe_block(
     mixer_training = training and not cfg.ignore_differentiable_router
     if mixer_training:
         rng, mixer_rng = jax.random.split(rng)
-    routing_weights, dyn_mask = R.sparse_expert_mixer(
-        dynamic_logits,
-        dynamic_top_k,
-        max_k=E_dyn,
-        jitter_eps=cfg.router_jitter_noise,
-        training=mixer_training,
-        rng=mixer_rng,
-    )
+        routing_weights, dyn_mask = R.sparse_expert_mixer(
+            dynamic_logits,
+            dynamic_top_k,
+            max_k=E_dyn,
+            jitter_eps=cfg.router_jitter_noise,
+            training=True,
+            rng=mixer_rng,
+        )
+    else:
+        # Deterministic mixer: closed-form ranked softmax (== the scan with
+        # training=False, value and gradient; tested in tests/test_router.py)
+        # — removes max_k sequential rounds from the decode hot path.
+        routing_weights, dyn_mask = R.sparse_expert_mixer_eval(
+            dynamic_logits, dynamic_top_k, jitter_eps=cfg.router_jitter_noise
+        )
     routing_weights = routing_weights / (
         jnp.sum(routing_weights, axis=-1, keepdims=True) + 1e-6
     )

@@ -166,6 +166,64 @@ def sparse_expert_mixer(
     return result
 
 
+def sparse_expert_mixer_eval(
+    scores: jnp.ndarray,
+    top_k: jnp.ndarray,
+    *,
+    jitter_eps: float,
+) -> MixerResult:
+    """Closed-form eval mixer — one sort instead of max_k scan rounds.
+
+    At eval (no Gumbel, no straight-through) round r of the iterative mixer
+    deterministically selects the r-th ranked expert, and its multiplier is
+    a softmax over the experts within the 2·jitter_eps relative threshold
+    of the r-th ranked score, restricted to not-yet-selected experts:
+
+      mult_r = exp(v_r) / Σ_{j ≥ r, near_r(j)} exp(v_j),   v = sort desc
+
+    This is exactly sparse_expert_mixer(training=False) (equality tested in
+    tests/test_router.py) without the sequential scan — the scan costs
+    ~1.3 ms/step of per-round gathers at decode shapes across 36 layers.
+    Gradients also match: the permutation and the near-set mask are
+    stop-gradded (the scan computes them under stop_grad too), so the
+    gradient is the same masked-softmax-gather gradient.
+    """
+    S, E = scores.shape
+    scores = scores.astype(jnp.float32)
+    order = jax.lax.stop_gradient(jnp.argsort(-scores, axis=-1, stable=True))
+    v = jnp.take_along_axis(scores, order, axis=-1)          # [S, E] desc
+    vs = jax.lax.stop_gradient(v)
+    # ratio[s, r, j] = (v_r - v_j) / max(|v_r|, |v_j|); expert at rank j is
+    # in round r's softmax iff j >= r and NOT(ratio > 2·eps) — the negated
+    # form mirrors the reference's `excluded = ratio > threshold` so 0/0
+    # NaNs fall on the included side exactly like the scan path.
+    factor = jnp.maximum(jnp.abs(vs)[:, :, None], jnp.abs(vs)[:, None, :])
+    ratio = (vs[:, :, None] - vs[:, None, :]) / factor       # [S, r, j]
+    ranks = jnp.arange(E)
+    include = (ranks[None, None, :] >= ranks[None, :, None]) & ~(
+        ratio > 2 * jitter_eps
+    )                                                        # [S, r, j]
+    include = jax.lax.stop_gradient(include)
+    # mult_r = softmax over included at rank r, evaluated at v_r:
+    # 1 / Σ_j include · exp(v_j - v_r)   (v_j ≤ v_r for included j ⇒ stable)
+    z = jnp.exp(v[:, None, :] - jax.lax.stop_gradient(v)[:, :, None])
+    # Differentiable numerator/denominator pair equal to the scan's
+    # softmax(masked_gates)[selected]: exp(v_r)/Σ include exp(v_j).
+    denom = jnp.sum(jnp.where(include, z, 0.0), axis=-1)     # [S, r]
+    num = jnp.exp(v - jax.lax.stop_gradient(v))              # == 1, grads flow
+    mult = num / denom                                       # [S, r]
+    active = ranks[None, :] < top_k[:, None]                 # [S, r]
+    w = jnp.zeros_like(scores)
+    w = jnp.put_along_axis(
+        w, order, jnp.where(active, mult, 0.0), axis=-1, inplace=False
+    )
+    m = jnp.zeros((S, E), jnp.int32)
+    m = jnp.put_along_axis(
+        m, order, active.astype(jnp.int32), axis=-1, inplace=False
+    )
+    return MixerResult(routing_weights=w, expert_mask=m)
+
+
 def global_routing_weight(
     expert_mask: jnp.ndarray,
     full_router_logits: jnp.ndarray,
