@@ -212,18 +212,7 @@ def test_trainable_pattern_freezes_params():
     assert attn_moved == 0 and emb_moved == 0
 
 
-def test_trainer_image_batch(tmp_path):
-    """Image training path: features fused outside jit, CE over labels."""
-    from unimoe_audio_tpu.train.trainer import Trainer, TrainerConfig
-
-    cfg = tiny_test_config(with_vision=True)
-    vcfg = cfg.vision_config
-    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32,
-                               with_vision=True)
-    tcfg = TrainerConfig(learning_rate=1e-3, total_steps=2, warmup_steps=1,
-                         log_every=1, save_every=0, ckpt_dir=None, remat=False)
-    tr = Trainer(cfg, params, tcfg)
-
+def _image_batch(cfg, vcfg):
     # One image: grid 1x4x4 -> 16 patches -> 4 merged tokens.
     grid = np.array([[1, 4, 4]])
     patch_dim = vcfg.in_channels * vcfg.temporal_patch_size * vcfg.patch_size ** 2
@@ -231,10 +220,90 @@ def test_trainer_image_batch(tmp_path):
     ids = np.full((1, 12), 7, dtype=np.int64)
     ids[0, 2:6] = cfg.image_token_id
     labels = ids.copy(); labels[:, :8] = -100
-    batch = {
+    return {
         "input_ids": ids, "labels": labels,
         "attention_mask": np.ones_like(ids),
         "pixel_values": pv, "image_grid_thw": grid,
     }
+
+
+@pytest.mark.parametrize("train_vision", [True, False])
+def test_trainer_image_batch(tmp_path, train_vision):
+    """Image training path, both modes: in-jit differentiable tower
+    (reference set_trainable default) and frozen-tower fusion outside jit
+    (staged curriculum)."""
+    from unimoe_audio_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = tiny_test_config(with_vision=True)
+    vcfg = cfg.vision_config
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32,
+                               with_vision=True)
+    tcfg = TrainerConfig(learning_rate=1e-3, total_steps=2, warmup_steps=1,
+                         log_every=1, save_every=0, ckpt_dir=None, remat=False,
+                         train_vision=train_vision, vision_bucket=8)
+    tr = Trainer(cfg, params, tcfg)
+    # donate_argnums deletes the original state's buffers — snapshot first.
+    pe_before = np.asarray(params["vision"]["patch_embed"]).copy()
+    batch = _image_batch(cfg, vcfg)
     hist = tr.fit(iter([batch, batch]))
     assert len(hist) == 2 and np.isfinite(hist[-1]["loss"])
+    moved = float(jnp.abs(
+        np.asarray(tr.state.params["vision"]["patch_embed"]) - pe_before
+    ).max())
+    if train_vision:
+        # Tower gradients flow (reference trains ALL modules by default,
+        # train_unimoev2_qwen2vl.py:310-314).
+        assert moved > 0
+    else:
+        assert moved == 0
+
+
+def test_trainer_vision_freeze_by_pattern(tmp_path):
+    """train_vision=True + trainable_pattern excluding the tower == the
+    reference's set_trainable regex freeze: grads computed, updates zeroed."""
+    from unimoe_audio_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = tiny_test_config(with_vision=True)
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32,
+                               with_vision=True)
+    tcfg = TrainerConfig(learning_rate=1e-3, total_steps=2, warmup_steps=1,
+                         log_every=1, save_every=0, ckpt_dir=None, remat=False,
+                         train_vision=True, vision_bucket=8,
+                         trainable_pattern=r"^(?!vision)")
+    tr = Trainer(cfg, params, tcfg)
+    pe_before = np.asarray(params["vision"]["patch_embed"]).copy()
+    emb_before = np.asarray(params["embed_tokens"]).copy()
+    batch = _image_batch(cfg, cfg.vision_config)
+    tr.fit(iter([batch, batch]))  # step 0 is lr==0 (warmup)
+    vis_moved = float(jnp.abs(
+        np.asarray(tr.state.params["vision"]["patch_embed"]) - pe_before).max())
+    emb_moved = float(jnp.abs(
+        np.asarray(tr.state.params["embed_tokens"]) - emb_before).max())
+    assert vis_moved == 0 and emb_moved > 0
+
+
+def test_vision_tower_apply_matches_forward_with_padding():
+    """vision_tower_apply on bucketed/padded indices == vision_forward on
+    the unpadded grid (padding rows are inert)."""
+    from unimoe_audio_tpu.models.vision import (
+        init_vision_params, vision_forward, vision_indices, vision_tower_apply,
+    )
+
+    cfg = tiny_test_config(with_vision=True)
+    vcfg = cfg.vision_config
+    params = init_vision_params(jax.random.PRNGKey(3), vcfg, dtype=jnp.float32)
+    grid = np.array([[1, 4, 4], [1, 8, 4]])  # 16 + 32 patches, 12 merged
+    patch_dim = vcfg.in_channels * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    pv = np.random.default_rng(1).normal(size=(48, patch_dim)).astype(np.float32)
+
+    want = np.asarray(vision_forward(params, jnp.asarray(pv), grid, vcfg))
+
+    m2 = vcfg.spatial_merge_size ** 2
+    idx = vision_indices(grid, vcfg, pad_merged_to=16)  # pad 12 -> 16
+    pv_pad = np.concatenate([pv, np.zeros(((16 - 12) * m2, patch_dim), pv.dtype)])
+    got = np.asarray(vision_tower_apply(
+        params, jnp.asarray(pv_pad), jnp.asarray(idx["pos"]),
+        jnp.asarray(idx["win_ids"]), jnp.asarray(idx["sample_ids"]),
+        jnp.asarray(idx["widx"]), jnp.asarray(idx["reverse"]), vcfg,
+    ))
+    np.testing.assert_allclose(got[:12], want, rtol=2e-5, atol=2e-6)

@@ -146,11 +146,76 @@ def vision_block(p: Dict, x: jnp.ndarray, cos, sin, attn_mask: jnp.ndarray,
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _tower_core(params, patches, cos, sin, win_mask, full_mask, widx, reverse, cfg):
-    """Device portion of the tower — jitted, compiled once per patch count."""
+def vision_indices(
+    grid_thw: np.ndarray, cfg: VisionConfig, pad_merged_to: int = 0
+) -> Dict[str, np.ndarray]:
+    """Host-side index bundle for `vision_tower_apply` — everything
+    data-dependent about a vision batch, as plain arrays so the tower
+    itself can run (and differentiate) INSIDE a jitted train step.
+
+    Optionally pads the merged-token count up to `pad_merged_to` (a static
+    bucket) so one compiled train step serves many grid shapes: padding
+    patches get window/sample id -1 (attend only each other, are attended
+    by nobody real, and their output rows are never consumed downstream —
+    so they contribute exactly zero gradient).
+
+    Returns: pos [Sp, 2] rope ids (shuffled order), win_ids [Sp],
+    sample_ids [Sp], widx [Smp], reverse [Smp], n_merged (real count).
+    """
+    m = cfg.spatial_merge_size
+    m2 = m ** 2
+    pos = rot_pos_ids(grid_thw, m)                               # [S, 2]
+    widx, wid = window_index(grid_thw, cfg)                      # [S/m2]
+    n_merged = len(widx)
+    S = n_merged * m2
+    pos = pos.reshape(n_merged, m2, 2)[widx].reshape(S, 2)
+    wid_patch = np.repeat(wid, m2)
+    sid_patch = np.repeat(sample_ids_merged(grid_thw, m)[widx], m2)
+    reverse = np.argsort(widx)
+
+    if pad_merged_to and pad_merged_to > n_merged:
+        pm = pad_merged_to
+        pad_m = pm - n_merged
+        pos = np.concatenate([pos, np.zeros((pad_m * m2, 2), pos.dtype)])
+        wid_patch = np.concatenate(
+            [wid_patch, np.full(pad_m * m2, -1, wid_patch.dtype)])
+        sid_patch = np.concatenate(
+            [sid_patch, np.full(pad_m * m2, -1, sid_patch.dtype)])
+        # Padded merged slots shuffle to themselves and reverse to
+        # themselves (identity on the tail).
+        widx = np.concatenate([widx, np.arange(n_merged, pm, dtype=widx.dtype)])
+        reverse = np.concatenate(
+            [reverse, np.arange(n_merged, pm, dtype=reverse.dtype)])
+    return {
+        "pos": pos.astype(np.int32),
+        "win_ids": wid_patch.astype(np.int32),
+        "sample_ids": sid_patch.astype(np.int32),
+        "widx": widx.astype(np.int32),
+        "reverse": reverse.astype(np.int32),
+        "n_merged": n_merged,
+    }
+
+
+def vision_tower_apply(
+    params: Dict,
+    patches: jnp.ndarray,        # [Sp, patch_dim], Sp = merged·m²(padded ok)
+    pos: jnp.ndarray,            # [Sp, 2]
+    win_ids: jnp.ndarray,        # [Sp]
+    sample_ids: jnp.ndarray,     # [Sp]
+    widx: jnp.ndarray,           # [Smp]
+    reverse: jnp.ndarray,        # [Smp]
+    cfg: VisionConfig,
+) -> jnp.ndarray:
+    """Pure jittable tower: patch embed → window shuffle → blocks →
+    merger → unshuffle.  All shapes static; index/mask arrays come from
+    `vision_indices`.  Differentiable w.r.t. params — the reference
+    trains the ViT by default (train_unimoev2_qwen2vl.py:310-314)."""
     m2 = cfg.spatial_merge_size ** 2
     S = patches.shape[0]
+    cos, sin = _vision_rope(pos, cfg.head_dim)
+    win_mask = win_ids[:, None] == win_ids[None, :]
+    full_mask = sample_ids[:, None] == sample_ids[None, :]
+
     x = patches.astype(params["patch_embed"].dtype) @ params["patch_embed"]
     x = x.reshape(S // m2, m2, -1)[widx].reshape(S, -1)
 
@@ -168,6 +233,13 @@ def _tower_core(params, patches, cos, sin, win_mask, full_mask, widx, reverse, c
     return h[reverse]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _tower_core(params, patches, pos, win_ids, sample_ids, widx, reverse, cfg):
+    return vision_tower_apply(
+        params, patches, pos, win_ids, sample_ids, widx, reverse, cfg
+    )
+
+
 def vision_forward(
     params: Dict,
     pixel_patches: jnp.ndarray,   # [S, in_ch·tps·ps·ps] flattened patches
@@ -177,29 +249,16 @@ def vision_forward(
     """Full tower: patch embed → window shuffle → blocks → merger → unshuffle.
 
     Returns [S/merge², out_hidden] features in the ORIGINAL patch order
-    (reference forward, utils/UniMoE_Audio_utils.py:856-900).  Index/mask
+    (reference forward, utils/UniMoE_Audio_utils.py:856-900).  Index
     computation is host-side (data-dependent); the tower itself is one
-    jitted program per patch-count shape.
+    jitted program per patch-count shape.  For the in-jit training path
+    use vision_indices + vision_tower_apply directly.
     """
-    m2 = cfg.spatial_merge_size ** 2
-    S = pixel_patches.shape[0]
-
-    pos = rot_pos_ids(grid_thw, cfg.spatial_merge_size)          # [S, 2]
-    widx, wid = window_index(grid_thw, cfg)                      # [S/m2]
-    pos = pos.reshape(S // m2, m2, 2)[widx].reshape(S, 2)
-    cos, sin = _vision_rope(jnp.asarray(pos), cfg.head_dim)
-
-    wid_patch = np.repeat(wid, m2)
-    sid_patch = np.repeat(
-        sample_ids_merged(grid_thw, cfg.spatial_merge_size)[widx], m2
-    )
-    win_mask = jnp.asarray(wid_patch[:, None] == wid_patch[None, :])
-    full_mask = jnp.asarray(sid_patch[:, None] == sid_patch[None, :])
-    reverse = jnp.asarray(np.argsort(widx))
-
+    idx = vision_indices(np.asarray(grid_thw), cfg)
     return _tower_core(
-        params, pixel_patches, cos, sin, win_mask, full_mask,
-        jnp.asarray(widx), reverse, cfg,
+        params, pixel_patches, jnp.asarray(idx["pos"]),
+        jnp.asarray(idx["win_ids"]), jnp.asarray(idx["sample_ids"]),
+        jnp.asarray(idx["widx"]), jnp.asarray(idx["reverse"]), cfg,
     )
 
 

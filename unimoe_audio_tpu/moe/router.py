@@ -213,15 +213,13 @@ def sparse_expert_mixer_eval(
     num = jnp.exp(v - jax.lax.stop_gradient(v))              # == 1, grads flow
     mult = num / denom                                       # [S, r]
     active = ranks[None, :] < top_k[:, None]                 # [S, r]
-    w = jnp.zeros_like(scores)
-    w = jnp.put_along_axis(
-        w, order, jnp.where(active, mult, 0.0), axis=-1, inplace=False
-    )
-    m = jnp.zeros((S, E), jnp.int32)
-    m = jnp.put_along_axis(
-        m, order, active.astype(jnp.int32), axis=-1, inplace=False
-    )
-    return MixerResult(routing_weights=w, expert_mask=m)
+    # Rank→expert scatter via one-hot compare + einsum (put_along_axis
+    # lowers to a TPU scatter, which measured slower than the scan it was
+    # meant to replace).
+    oh = (order[:, :, None] == ranks[None, None, :]).astype(jnp.float32)
+    w = jnp.einsum("sr,sre->se", jnp.where(active, mult, 0.0), oh)
+    m = jnp.einsum("sr,sre->se", active.astype(jnp.float32), oh)
+    return MixerResult(routing_weights=w, expert_mask=m.astype(jnp.int32))
 
 
 def global_routing_weight(

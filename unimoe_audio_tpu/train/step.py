@@ -111,12 +111,37 @@ def loss_fn(
     dispatch_mode: str = "dense",
     remat: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    inputs_embeds = batch.get("inputs_embeds")
+    if "vision_patches" in batch:
+        # In-jit vision tower: runs INSIDE the differentiated step so the
+        # ViT trains (the reference's set_trainable default trains every
+        # module incl. the tower, train_unimoev2_qwen2vl.py:310-314).
+        # Index arrays come bucketed/padded from vision_indices; padding
+        # rows carry zero gradient by construction.
+        from ..models.model import calculate_input_embedding
+        from ..models.vision import vision_tower_apply
+
+        feats = vision_tower_apply(
+            params["vision"], batch["vision_patches"], batch["vision_pos"],
+            batch["vision_win_ids"], batch["vision_sample_ids"],
+            batch["vision_widx"], batch["vision_reverse"], cfg.vision_config,
+        )
+        emb = calculate_input_embedding(
+            params, batch["input_ids"], batch.get("codec_input_ids"),
+            cfg.codec_placeholder_value,
+        )
+        vmask = batch["input_ids"] == cfg.image_token_id
+        # Order-preserving scatter: j-th vision token row takes feats[j].
+        slot_order = jnp.cumsum(vmask.reshape(-1)) - 1
+        gathered = feats[jnp.clip(slot_order, 0, feats.shape[0] - 1)]
+        gathered = gathered.reshape(emb.shape[0], emb.shape[1], -1)
+        inputs_embeds = jnp.where(vmask[..., None], gathered.astype(emb.dtype), emb)
     out = model_forward(
         params, cfg, batch["input_ids"],
         codec_input_ids=batch.get("codec_input_ids"),
         attention_mask=batch.get("attention_mask"),
         position_ids=batch.get("position_ids"),
-        inputs_embeds=batch.get("inputs_embeds"),
+        inputs_embeds=inputs_embeds,
         codec_labels=batch.get("codec_labels"),
         labels=batch.get("labels"),
         aux_balance_weight=batch.get("aux_balance_weight"),

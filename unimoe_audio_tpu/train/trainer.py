@@ -41,6 +41,14 @@ class TrainerConfig:
     # Regex over param paths; non-matching params frozen (reference
     # set_trainable / only_gate_training).  None = train everything.
     trainable_pattern: Optional[str] = None
+    # Run the vision tower INSIDE the jitted step so it trains (the
+    # reference's default trains all modules incl. the ViT,
+    # train_unimoev2_qwen2vl.py:310-314).  False = round-1 behavior:
+    # features fused outside jit, tower structurally frozen.
+    train_vision: bool = True
+    # Merged-vision-token bucket: grids pad up to a multiple of this so a
+    # handful of compiled steps serve all image sizes.
+    vision_bucket: int = 64
 
 
 class MetricsLogger:
@@ -126,11 +134,50 @@ class Trainer:
 
     # -- vision preprocessing ---------------------------------------------
     def _prepare_vision_batch(self, batch: Dict) -> Dict:
-        """Fuse image features into inputs_embeds OUTSIDE the jitted step
-        (grid shapes are data-dependent).  The vision tower is therefore
-        frozen during training — matching the reference's staged curriculum
-        where the tower is not a training target (script/training.sh)."""
+        """Prepare a vision batch for the jitted step.
+
+        train_vision=True (default, the reference's set_trainable default):
+        host-side index computation only (vision_indices, padded to the
+        vision_bucket), with the tower itself running — and differentiating
+        — inside train_step.
+
+        train_vision=False: round-1 behavior — fuse image features into
+        inputs_embeds OUTSIDE the jitted step; the tower is structurally
+        frozen (the staged-curriculum reading of script/training.sh)."""
         if "pixel_values" not in batch:
+            return batch
+        if self.tcfg.train_vision:
+            from ..models.model import get_rope_index
+            from ..models.vision import vision_indices
+
+            batch = dict(batch)
+            pv = np.asarray(batch.pop("pixel_values"))
+            grid = np.asarray(batch.pop("image_grid_thw"))
+            vcfg = self.cfg.vision_config
+            m2 = vcfg.spatial_merge_size ** 2
+            n_merged = pv.shape[0] // m2
+            bucket = max(self.tcfg.vision_bucket, 1)
+            pad_to = -(-n_merged // bucket) * bucket
+            idx = vision_indices(grid, vcfg, pad_merged_to=pad_to)
+            if pad_to > n_merged:
+                pv = np.concatenate(
+                    [pv, np.zeros(((pad_to - n_merged) * m2, pv.shape[1]), pv.dtype)]
+                )
+            batch["vision_patches"] = pv
+            batch["vision_pos"] = idx["pos"]
+            batch["vision_win_ids"] = idx["win_ids"]
+            batch["vision_sample_ids"] = idx["sample_ids"]
+            batch["vision_widx"] = idx["widx"]
+            batch["vision_reverse"] = idx["reverse"]
+            ids = np.asarray(batch["input_ids"])
+            assert int((ids == self.cfg.image_token_id).sum()) == n_merged, (
+                "image tokens != merged vision features"
+            )
+            pos, _ = get_rope_index(
+                ids, self.cfg, image_grid_thw=grid,
+                attention_mask=batch.get("attention_mask"),
+            )
+            batch["position_ids"] = pos
             return batch
         from ..models.model import calculate_input_embedding, get_rope_index
         from ..models.vision import vision_forward
