@@ -90,3 +90,36 @@ def test_quantized_generation_runs():
     )
     codes = np.asarray(res.codes)
     assert (codes >= 0).all() and (codes < cfg.codec_embed_size).all()
+
+
+def test_pad_expert_ffn_exact():
+    """Zero-padding FFN intermediate dims to a lane multiple is
+    numerics-exact for the DCMoE block (silu(0)*0 == 0; padded down rows
+    multiply zeros)."""
+    import jax
+    from unimoe_audio_tpu.config import tiny_test_config
+    from unimoe_audio_tpu.moe.block import dcmoe_block, init_dcmoe_params
+    from unimoe_audio_tpu.ops.quant import pad_expert_ffn
+
+    cfg = tiny_test_config(
+        hidden_size=64, dynamic_intermediate_size=48,   # not a multiple of 32
+        shared_intermediate_size=24,
+    ).text_config
+    params = init_dcmoe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    padded = pad_expert_ffn({"layers": {"moe": params}}, multiple=32)
+    pp = padded["layers"]["moe"]
+    assert pp["dynamic"]["gate"].shape[-1] == 64
+    assert pp["fixed"]["down"].shape[-2] == 32
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 64), jnp.float32)
+    out_a = dcmoe_block(params, x, cfg)
+    out_b = dcmoe_block(pp, x, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out_a.hidden_states), np.asarray(out_b.hidden_states),
+        rtol=1e-6, atol=1e-6,
+    )
+    # packed path too
+    out_c = dcmoe_block(pp, x, cfg, dispatch_mode="packed", capacity=16)
+    np.testing.assert_allclose(
+        np.asarray(out_a.hidden_states), np.asarray(out_c.hidden_states),
+        rtol=1e-5, atol=1e-6,
+    )

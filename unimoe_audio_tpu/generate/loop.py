@@ -94,6 +94,7 @@ def generate_jit(
     decode_dispatch_mode: Optional[str] = None,  # None = dispatch_mode
     decode_capacity: Optional[int] = None,       # static, for 'packed' decode
     prefill_capacity: Optional[int] = None,      # static, for 'packed' prefill
+    prefix_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # [L, n, KV, Dh]
 ) -> GenerateResult:
     tc = cfg.text_config
     B2, T_text = input_ids.shape
@@ -103,10 +104,13 @@ def generate_jit(
     eos, pad = cfg.codec_eos_value, cfg.codec_pad_value
     delay = jnp.asarray(cfg.codec_delay_pattern, dtype=jnp.int32)
     max_delay = cfg.max_delay
+    # Prefix tuning (train/peft.py): learned per-layer KV occupy cache
+    # slots [0, n_pre); everything else shifts right by n_pre.
+    n_pre = 0 if prefix_kv is None else prefix_kv[0].shape[1]
     # Each decode step streams the whole KV buffer (static shapes), so the
     # buffer should be right-sized: generate_chunked grows it in chunks via
     # cache_len instead of preallocating for max_tokens up front.
-    T_total = cache_len if cache_len is not None else T_text + max_tokens + 2
+    T_total = cache_len if cache_len is not None else n_pre + T_text + max_tokens + 2
     if resume_state is not None:
         assert resume_state.cache.k.shape[1] == T_total, (
             "resume cache length must match cache_len; pad it before resuming"
@@ -136,30 +140,47 @@ def generate_jit(
             tc.num_hidden_layers, B2, T_total, tc.num_key_value_heads, tc.head_dim,
             dtype=inputs_embeds.dtype,
         )
+        if n_pre:
+            # Learned prefix KV into cache slots [0, n_pre) — the
+            # preallocated-cache twin of HF PEFT's past_key_values
+            # injection (post-RoPE, positionless); text shifts right.
+            pk, pv = prefix_kv  # [L, n, KV, Dh] → cache slice [L, n, B2, KV, Dh]
+            shape = (tc.num_hidden_layers, n_pre, B2) + pk.shape[2:]
+            pk_t = jnp.broadcast_to(pk[:, :, None].astype(cache.k.dtype), shape)
+            pv_t = jnp.broadcast_to(pv[:, :, None].astype(cache.v.dtype), shape)
+            cache = KVCache(
+                k=cache.k.at[:, :n_pre].set(pk_t),
+                v=cache.v.at[:, :n_pre].set(pv_t),
+            )
+            position_ids = position_ids + n_pre
         kv_valid = jnp.concatenate(
-            [attention_mask.astype(jnp.int32), jnp.zeros((B2, T_total - T_text), jnp.int32)], axis=-1
+            [jnp.ones((B2, n_pre), jnp.int32),
+             attention_mask.astype(jnp.int32),
+             jnp.zeros((B2, T_total - n_pre - T_text), jnp.int32)], axis=-1
         )
         prefill_flash = (
-            T_text >= 128 and jax.default_backend() in ("tpu", "axon")
+            T_text >= 128 and n_pre == 0
+            and jax.default_backend() in ("tpu", "axon")
             and not tc.has_sliding_layers
         )
         out = text_model_forward(
             params, inputs_embeds, position_ids, tc,
             kv_cache=cache,
-            cache_position=jnp.int32(0),
+            cache_position=jnp.int32(n_pre),
             kv_valid_mask=kv_valid,
             padding_token_mask=attention_mask,
             dispatch_mode=dispatch_mode,
             capacity=prefill_capacity,
             # cache_position==0 prefill: the fresh window holds every
-            # attendable key, so the flash path is safe here.
+            # attendable key, so the flash path is safe here (with a
+            # prefix the window misses slots [0, n_pre) — flash off).
             use_flash=True if prefill_flash else None,
         )
         cache = out.kv_cache
 
     step_pos_base = decode_position_base(
         jnp.sum(attention_mask, axis=-1), T_text, rope_deltas
-    )  # [2B]
+    ) + n_pre  # [2B]; prefix slots shift every real position right
     start_step = jnp.min(prefill_steps) - 1
     stop_step = max_tokens if stop_at is None else jnp.minimum(stop_at, max_tokens)
 
@@ -173,7 +194,7 @@ def generate_jit(
         dec_step = s.dec_step
         current_step = dec_step + 1
         rel = dec_step - start_step          # 0, 1, 2, ... frames decoded
-        cache_pos = T_text + rel
+        cache_pos = n_pre + T_text + rel
 
         tokens = jax.lax.dynamic_slice(
             s.buf, (0, dec_step, 0), (B, 1, C)
@@ -185,9 +206,13 @@ def generate_jit(
         position_ids = jnp.broadcast_to(step_pos, (3, B2, 1))
 
         key_idx = jnp.arange(T_total)[None, :]
+        text_valid = jnp.pad(
+            attention_mask, ((0, 0), (n_pre, T_total - n_pre - T_text)),
+            constant_values=1,
+        )[:, :T_total]  # prefix slots (left pad) are always attendable
         kv_valid = jnp.where(
-            key_idx < T_text,
-            jnp.pad(attention_mask, ((0, 0), (0, T_total - T_text)))[:, :T_total],
+            key_idx < n_pre + T_text,
+            text_valid,
             (key_idx <= cache_pos).astype(jnp.int32),
         )
 
@@ -375,8 +400,11 @@ def generate_chunked(
     start = int(steps_np.min()) - 1
     prefill_steps = jnp.asarray(steps_np, jnp.int32)
 
+    pkv = kwargs.get("prefix_kv")
+    n_pre = 0 if pkv is None else pkv[0].shape[1]
+
     def bucket(n_frames: int) -> int:
-        return -(-(T_text + n_frames + 2) // chunk_frames) * chunk_frames
+        return -(-(n_pre + T_text + n_frames + 2) // chunk_frames) * chunk_frames
 
     state = None
     res = None

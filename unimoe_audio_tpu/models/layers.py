@@ -113,6 +113,7 @@ def attention(
     use_flash: Optional[bool] = None,
     is_sliding: Optional[jnp.ndarray] = None,      # traced bool: window this layer
     decode_emit: bool = False,
+    prefix_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # [n, KV, Dh] each
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """GQA attention (q/k/v with bias, o without — Qwen2.5 layout).
 
@@ -136,6 +137,22 @@ def attention(
     k = (proj_matmul(x, params["k_proj"]) + params["k_proj"]["b"]).reshape(B, T, KV, Dh)
     v = (proj_matmul(x, params["v_proj"]) + params["v_proj"]["b"]).reshape(B, T, KV, Dh)
     q, k = apply_rope(q, k, cos, sin)
+
+    if prefix_kv is not None and cache_kv is None:
+        # Prefix-tuning (no-cache training/eval path): learned KV injected
+        # ahead of every key — post-RoPE like HF PEFT past_key_values; real
+        # tokens' positions must come in shifted by n (train/peft.py).  The
+        # cache path instead writes the prefix into slots [0, n)
+        # (generate/loop.py).
+        pk, pv = prefix_kv
+        n_pre = pk.shape[0]
+        k = jnp.concatenate(
+            [jnp.broadcast_to(pk[None].astype(k.dtype), (B, n_pre, KV, Dh)), k], axis=1)
+        v = jnp.concatenate(
+            [jnp.broadcast_to(pv[None].astype(v.dtype), (B, n_pre, KV, Dh)), v], axis=1)
+        if kv_valid_mask is not None:
+            kv_valid_mask = jnp.concatenate(
+                [jnp.ones((B, n_pre), kv_valid_mask.dtype), kv_valid_mask], axis=1)
 
     if decode_emit:
         # Decode fast path (T == 1): do NOT rewrite the cache here — attend
@@ -214,9 +231,10 @@ def attention(
         # prefill is the only such caller.
         from ..ops.flash_attention import flash_attention
 
+        S_win = k.shape[1]  # == T, or n_prefix + T with injected prefix KV
         window_valid = (
-            kv_valid_mask[:, :T] if kv_valid_mask is not None
-            else jnp.ones((B, T), jnp.int32)
+            kv_valid_mask[:, :S_win] if kv_valid_mask is not None
+            else jnp.ones((B, S_win), jnp.int32)
         )
         out = flash_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),

@@ -70,6 +70,7 @@ def text_model_forward(
     use_flash: Optional[bool] = None,
     hidden_sharding=None,
     decode_emit: Optional[bool] = None,  # None = auto (cache and T == 1)
+    prefix_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # [L, n, KV, Dh] each
 ) -> TextModelOutput:
     """36-layer decoder stack as one lax.scan over stacked layer params.
 
@@ -115,7 +116,7 @@ def text_model_forward(
         ).astype(kv_valid_mask.dtype)
 
     def layer_fn(h, xs):
-        lp, layer_rng, is_sliding, cache_k, cache_v = xs
+        lp, layer_rng, is_sliding, cache_k, cache_v, pre_k, pre_v = xs
         residual = h
         hn = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
         attn_out, new_cache = attention(
@@ -126,6 +127,7 @@ def text_model_forward(
             use_flash=use_flash,
             is_sliding=is_sliding if cfg.has_sliding_layers else None,
             decode_emit=decode_emit,
+            prefix_kv=(pre_k, pre_v) if prefix_kv is not None else None,
         )
         h = residual + attn_out
         residual = h
@@ -169,6 +171,8 @@ def text_model_forward(
         sliding_flags,
         kv_cache.k if use_cache else jnp.zeros((L, 0)),
         kv_cache.v if use_cache else jnp.zeros((L, 0)),
+        prefix_kv[0] if prefix_kv is not None else jnp.zeros((L, 0)),
+        prefix_kv[1] if prefix_kv is not None else jnp.zeros((L, 0)),
     )
     h, ys = jax.lax.scan(layer_fn, inputs_embeds, xs)
     h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
@@ -385,6 +389,7 @@ def model_forward(
     capacity: Optional[int] = None,
     compute_lm_logits: bool = False,
     remat: bool = False,
+    prefix_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # [L, n, KV, Dh]
 ) -> ModelOutput:
     """Full-model forward (no cache — training / eval path).
 
@@ -422,6 +427,10 @@ def model_forward(
     if position_ids is None:
         pos = jnp.cumsum(attention_mask, axis=-1) - 1
         pos = jnp.where(attention_mask == 0, 1, pos)
+        if prefix_kv is not None:
+            # Learned prefix KV occupy past positions [0, n) (HF PEFT
+            # past_key_values semantics): real tokens shift by n.
+            pos = pos + prefix_kv[0].shape[1]
         position_ids = jnp.broadcast_to(pos[None], (3, B, T))
 
     abw = None
@@ -438,6 +447,7 @@ def model_forward(
         dispatch_mode=dispatch_mode,
         capacity=capacity,
         remat=remat,
+        prefix_kv=prefix_kv,
     )
     hidden = out.last_hidden_state
 

@@ -86,6 +86,48 @@ _QUANT_PATHS = (
 )
 
 
+def pad_expert_ffn(params: Dict, multiple: int = 128) -> Dict:
+    """Zero-pad expert FFN intermediate dims up to a lane multiple
+    (serving-only; apply BEFORE quantization).
+
+    The flagship's dynamic F=2752 and shared F=1376 are not 128-divisible,
+    so the down-projection contracts over a ragged K dim — measured
+    5.7 ms/step vs 2.1 ms for an aligned projection at decode shapes
+    (the MXU pads every K tile).  Padding is numerics-exact:
+    silu(0)·0 == 0 in the padded gate/up outputs, and the padded down
+    rows only ever multiply those zeros.
+    """
+    import numpy as np
+
+    def pad_group(g):
+        if not isinstance(g, dict) or "gate" not in g:
+            return g
+        F = g["gate"].shape[-1]
+        Fp = -(-F // multiple) * multiple
+        if Fp == F:
+            return g
+        return {
+            "gate": jnp.pad(g["gate"], [(0, 0)] * (g["gate"].ndim - 1) + [(0, Fp - F)]),
+            "up": jnp.pad(g["up"], [(0, 0)] * (g["up"].ndim - 1) + [(0, Fp - F)]),
+            "down": jnp.pad(
+                g["down"],
+                [(0, 0)] * (g["down"].ndim - 2) + [(0, Fp - F), (0, 0)],
+            ),
+        }
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "dynamic" in node and "fixed" in node:  # a moe param group
+                out = dict(node)
+                out["dynamic"] = pad_group(node["dynamic"])
+                out["fixed"] = pad_group(node["fixed"])
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
 def quantize_model_params(params: Dict) -> Dict:
     """Quantize the bandwidth-dominant weights (attention projections,
     expert FFNs, output heads).  Router gate, norms, biases, and embeddings

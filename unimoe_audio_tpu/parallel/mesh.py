@@ -98,6 +98,10 @@ def shard_params(params: Dict, mesh: Mesh, cfg: UniMoEAudioConfig) -> Dict:
         # Vision tower (0.67B) replicates — it runs once per request.
         specs = dict(specs)
         specs["vision"] = jax.tree.map(lambda x: P(), params["vision"])
+    if "peft" in params:
+        # PEFT adapters (train/peft.py) are tiny — replicate.
+        specs = dict(specs)
+        specs["peft"] = jax.tree.map(lambda x: P(), params["peft"])
 
     def place(x, s):
         if isinstance(x, QTensor):

@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for pods")
+    p.add_argument("--peft_mode", choices=["lora", "prefix", "ptuning", "prompt"],
+                   default=None,
+                   help="parameter-efficient finetuning: adapters train, base "
+                        "freezes (reference training_utils.py:121-163)")
+    p.add_argument("--lora_r", type=int, default=16)
+    p.add_argument("--lora_alpha", type=float, default=32.0)
     return p
 
 
@@ -180,6 +186,26 @@ def main(argv=None):
         # Stage-2-style curriculum: router gate only (reference
         # only_gate_training regex freeze, train_unimoev2_qwen2vl.py:311-314).
         trainable = r"moe/gate"
+    if args.peft_mode:
+        # Adapter-only training (reference get_peft_config modes,
+        # training_utils.py:121-163).
+        peft_rng = jax.random.PRNGKey(args.seed + 1)
+        if args.peft_mode == "lora":
+            from ..train.lora import add_lora
+
+            params = add_lora(params, peft_rng, rank=args.lora_r,
+                              alpha=args.lora_alpha)
+            trainable = r"lora"
+        else:
+            from ..train import peft as peft_mod
+
+            init = {
+                "prefix": peft_mod.init_prefix_tuning,
+                "ptuning": peft_mod.init_p_tuning,
+                "prompt": peft_mod.init_prompt_tuning,
+            }[args.peft_mode]
+            params["peft"] = init(peft_rng, cfg)
+            trainable = r"peft"
     tcfg = TrainerConfig(
         trainable_pattern=trainable,
         learning_rate=args.learning_rate,

@@ -112,6 +112,25 @@ def loss_fn(
     remat: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     inputs_embeds = batch.get("inputs_embeds")
+    prefix = None
+    if "peft" in params:
+        # PEFT adapters (reference training_utils.py:121-163): prompt/
+        # P-tuning prepend soft tokens; prefix tuning injects per-layer KV.
+        from .peft import prefix_kv as peft_prefix_kv
+        from .peft import prepend_virtual_tokens, virtual_embeds
+
+        peft = params["peft"]
+        virt = virtual_embeds(peft)
+        if virt is not None:
+            from ..models.model import calculate_input_embedding
+
+            if inputs_embeds is None:
+                inputs_embeds = calculate_input_embedding(
+                    params, batch["input_ids"], batch.get("codec_input_ids"),
+                    cfg.codec_placeholder_value,
+                )
+            batch, inputs_embeds = prepend_virtual_tokens(batch, inputs_embeds, virt)
+        prefix = peft_prefix_kv(peft, cfg)
     if "vision_patches" in batch:
         # In-jit vision tower: runs INSIDE the differentiated step so the
         # ViT trains (the reference's set_trainable default trains every
@@ -150,6 +169,7 @@ def loss_fn(
         rng=rng,
         dispatch_mode=dispatch_mode,
         remat=remat,
+        prefix_kv=prefix,
     )
     metrics = {
         "loss": out.loss,
