@@ -49,3 +49,89 @@ def test_train_save_serve_round_trip(tmp_path):
     assert m.config.codec_channels == cfg.codec_channels
     paths = m.text_to_music("roundtrip", output_dir=str(tmp_path), seed=0)
     assert len(paths) == 1
+
+
+def _make_model(tmp_path, max_tokens=16):
+    cfg = tiny_test_config()
+    return UniMoEAudio(None, allow_random=True, config=cfg,
+                       tokenizer=StubTokenizer(cfg), max_tokens=max_tokens,
+                       min_tokens=4)
+
+
+def _ref_wav(model, tmp_path, name="ref.wav"):
+    from unimoe_audio_tpu.codec import audio_io
+
+    sr = model.dac.config.sample_rate
+    t = np.linspace(0, 0.3, int(sr * 0.3), dtype=np.float32)
+    path = str(tmp_path / name)
+    audio_io.write_wav(path, 0.3 * np.sin(2 * np.pi * 330 * t)[None], sr)
+    return path
+
+
+def test_generate_mixed_matches_individual(tmp_path):
+    """Greedy decode: a heterogeneous T2M+TTS batch row-matches the same
+    requests run individually (batch rows don't interact)."""
+    model = _make_model(tmp_path)
+    ref = _ref_wav(model, tmp_path)
+    codec = model.dac.encode(ref)
+
+    reqs = [
+        {"task": "text_to_music", "caption": "calm piano",
+         "max_audio_seconds": 16 / 50, "min_audio_seconds": 4 / 50},
+        {"task": "text_to_speech", "caption": "hello there",
+         "prompt_text": "ref text", "prompt_codec": codec,
+         "max_audio_seconds": 16 / 50, "min_audio_seconds": 4 / 50},
+    ]
+    mixed = model.generate_mixed(reqs, output_dir=str(tmp_path / "m"),
+                                 do_sample=False, seed=0)
+    assert len(mixed) == 2
+
+    solo_t2m = model.text_to_music(
+        "calm piano", output_dir=str(tmp_path / "a"), do_sample=False, seed=0)
+    solo_tts = model.text_to_speech(
+        "hello there", prompt_text="ref text", prompt_codec=codec,
+        output_dir=str(tmp_path / "b"), do_sample=False, seed=0)
+
+    from unimoe_audio_tpu.codec import audio_io
+
+    for got, want in zip(mixed, [solo_t2m[0], solo_tts[0]]):
+        a, _ = audio_io.read_wav(got)
+        b, _ = audio_io.read_wav(want)
+        n = min(a.shape[-1], b.shape[-1])
+        np.testing.assert_allclose(a[..., :n], b[..., :n], atol=1e-6)
+
+
+def test_batcher_interleaved_multitask(tmp_path):
+    """Interleaved TTS + T2M requests coalesce into ONE mixed batch."""
+    model = _make_model(tmp_path)
+    ref = _ref_wav(model, tmp_path, "ref_b.wav")
+    codec = model.dac.encode(ref)
+
+    calls = []
+    orig = model.generate_mixed
+
+    def spy(reqs, **kw):
+        calls.append(len(reqs))
+        return orig(reqs, **kw)
+
+    model.generate_mixed = spy
+    batcher = RequestBatcher(model, window_s=0.4, output_dir=str(tmp_path))
+    futs = [
+        batcher.submit("text_to_music", {"caption": "beat one", "seed": 5,
+                                         "max_audio_seconds": 16 / 50,
+                                         "min_audio_seconds": 4 / 50}),
+        batcher.submit("text_to_speech", {"transcription": "say this",
+                                          "prompt_transcription": "ref",
+                                          "prompt_codec": codec,
+                                          "max_audio_seconds": 16 / 50,
+                                          "min_audio_seconds": 4 / 50}),
+        batcher.submit("text_to_music", {"caption": "beat two", "seed": 5,
+                                         "max_audio_seconds": 16 / 50,
+                                         "min_audio_seconds": 4 / 50}),
+    ]
+    paths = [f.result(timeout=600) for f in futs]
+    batcher.close()
+    assert len(set(paths)) == 3
+    assert all(p.endswith(".wav") for p in paths)
+    # all three interleaved tasks shared one generate_mixed batch
+    assert len(calls) == 1 and calls[0] >= 3

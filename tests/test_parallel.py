@@ -128,3 +128,32 @@ def test_ep_mesh_no_full_remat_resharding():
         f"full [E,S,D] all-gather found — the combine reshards by "
         f"replication again: {gathers}"
     )
+
+
+def test_multihost_arg_plumbing():
+    """--coordinator-address/--num-processes/--process-id reach
+    jax.distributed.initialize (injectable; hardware can't be tested here)."""
+    import argparse
+    from unimoe_audio_tpu.parallel.multihost import (
+        add_multihost_args, maybe_initialize_multihost,
+    )
+
+    parser = argparse.ArgumentParser()
+    add_multihost_args(parser)
+    calls = []
+
+    args = parser.parse_args([])
+    assert not maybe_initialize_multihost(args, initialize=lambda **kw: calls.append(kw))
+    assert calls == []
+
+    args = parser.parse_args(["--multihost"])
+    assert maybe_initialize_multihost(args, initialize=lambda **kw: calls.append(kw))
+    assert calls == [{}]
+
+    args = parser.parse_args([
+        "--coordinator-address", "10.0.0.1:1234",
+        "--num-processes", "4", "--process-id", "2",
+    ])
+    assert maybe_initialize_multihost(args, initialize=lambda **kw: calls.append(kw))
+    assert calls[-1] == {"coordinator_address": "10.0.0.1:1234",
+                         "num_processes": 4, "process_id": 2}

@@ -123,3 +123,32 @@ def test_pad_expert_ffn_exact():
         np.asarray(out_a.hidden_states), np.asarray(out_c.hidden_states),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_pad_expert_ffn_after_quantize_exact():
+    """Padding QTensor (already-int8) expert weights == quantizing padded
+    weights: dequantized outputs identical."""
+    import jax
+    from unimoe_audio_tpu.config import tiny_test_config
+    from unimoe_audio_tpu.moe.block import dcmoe_block, init_dcmoe_params
+    from unimoe_audio_tpu.ops.quant import pad_expert_ffn, quantize_model_params
+
+    cfg = tiny_test_config(
+        hidden_size=64, dynamic_intermediate_size=48,
+        shared_intermediate_size=24,
+    ).text_config
+    params = init_dcmoe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    tree = quantize_model_params({"layers": {"moe": params}})
+    tree = pad_expert_ffn(tree, multiple=32)
+    pp = tree["layers"]["moe"]
+    assert pp["dynamic"]["gate"].q.shape[-1] == 64
+    assert pp["dynamic"]["gate"].s.shape[-1] == 64
+    assert pp["fixed"]["down"].q.shape[-2] == 32
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 64), jnp.float32)
+    base = quantize_model_params({"layers": {"moe": params}})["layers"]["moe"]
+    out_a = dcmoe_block(base, x, cfg)
+    out_b = dcmoe_block(pp, x, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out_a.hidden_states), np.asarray(out_b.hidden_states),
+        rtol=1e-5, atol=1e-6,
+    )

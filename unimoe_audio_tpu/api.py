@@ -217,8 +217,12 @@ class UniMoEAudio:
         prefill_position_ids: Optional[np.ndarray] = None,
         rope_deltas: Optional[np.ndarray] = None,
         max_tokens: Optional[int] = None,
-        min_tokens: Optional[int] = None,
+        min_tokens=None,
+        max_tokens_vec: Optional[np.ndarray] = None,  # [B] per-sample budget
     ) -> List[str]:
+        """cfg_scale / temperature / top_p / eos_prob_mul_factor /
+        min_tokens accept floats OR per-sample [B] arrays (heterogeneous
+        mixed-task batches, generate_mixed)."""
         cfg = self.config
         max_tokens = max_tokens if max_tokens is not None else self.MAX_TOKENS
         min_tokens = min_tokens if min_tokens is not None else self.MIN_TOKENS
@@ -248,13 +252,17 @@ class UniMoEAudio:
             jnp.asarray(prefill_position_ids) if prefill_position_ids is not None else None,
             rope_deltas=jnp.asarray(rope_deltas, jnp.int32) if rope_deltas is not None else None,
             max_tokens=max_tokens,
-            min_tokens=jnp.int32(min_tokens),
-            cfg_scale=jnp.float32(cfg_scale),
-            temperature=jnp.float32(temperature),
-            top_p=jnp.float32(top_p),
+            min_tokens=jnp.asarray(min_tokens, jnp.int32),
+            cfg_scale=jnp.asarray(cfg_scale, jnp.float32),
+            temperature=jnp.asarray(temperature, jnp.float32),
+            top_p=jnp.asarray(top_p, jnp.float32),
             cfg_filter_top_k=cfg_filter_top_k,
-            eos_prob_mul_factor=jnp.float32(eos_prob_mul_factor),
+            eos_prob_mul_factor=jnp.asarray(eos_prob_mul_factor, jnp.float32),
             do_sample=do_sample,
+            max_tokens_vec=(
+                jnp.asarray(max_tokens_vec, jnp.int32)
+                if max_tokens_vec is not None else None
+            ),
         )
 
         audios = dl.generate_output(
@@ -544,6 +552,159 @@ class UniMoEAudio:
             visual_mask=visual_mask,
             prefill_position_ids=position_ids,
             rope_deltas=deltas,
+        )
+
+
+    # ------------------------------------------------------------------
+    # Mixed-task batch generation (one decode batch for interleaved
+    # TTS / T2M / VT2M requests — BASELINE workload 5; the reference's
+    # Gradio dispatcher runs tasks one-by-one, web_demo.py:829-841)
+    # ------------------------------------------------------------------
+    def generate_mixed(
+        self,
+        requests: List[dict],
+        *,
+        output_dir: str = "./",
+        save_name: str = "mixed",
+        seed: Optional[int] = None,
+        do_sample: bool = True,
+    ) -> List[str]:
+        """Run heterogeneous requests as ONE generation batch.
+
+        Each request dict has "task" ∈ {text_to_music, text_to_speech,
+        video_text_to_music} plus that task's inputs and (optionally) its
+        own cfg_scale / temperature / top_p / eos_prob_mul_factor /
+        max_audio_seconds / min_audio_seconds — per-sample knobs ride the
+        batch as vectors (generate_jit broadcasts them).  Returns one
+        output path per request, aligned by index.
+        """
+        cfg = self.config
+        defaults = {
+            "text_to_music": dict(cfg_scale=10.0, eos_prob_mul_factor=0.6),
+            "text_to_speech": dict(cfg_scale=1.0, eos_prob_mul_factor=1.0),
+            "video_text_to_music": dict(cfg_scale=10.0, eos_prob_mul_factor=0.6),
+        }
+
+        texts: List[str] = []
+        codec_rows: List[np.ndarray] = []    # flat [n, C] per placeholder row
+        video_feats: List = []               # per ROW: feats or None
+        grids, spgts = [], []
+        p_cfg, p_temp, p_topp, p_eosf, p_min, p_max = [], [], [], [], [], []
+
+        for r in requests:
+            task = r["task"]
+            if task not in defaults:
+                raise ValueError(f"unknown task: {task}")
+            d = defaults[task]
+            mt = int(r.get("max_audio_seconds", self.MAX_TOKENS / 50) * 50)
+            mn = int(r.get("min_audio_seconds", self.MIN_TOKENS / 50) * 50)
+            p_cfg.append(float(r.get("cfg_scale", d["cfg_scale"])))
+            p_temp.append(float(r.get("temperature", 1.0)))
+            p_topp.append(float(r.get("top_p", 1.0)))
+            p_eosf.append(float(r.get("eos_prob_mul_factor", d["eos_prob_mul_factor"])))
+            p_min.append(mn)
+            p_max.append(mt)
+
+            if task == "text_to_music":
+                c = r["caption"]
+                neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+                    "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
+                pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+                    "<|MUSIC_START|>" + c + "<|MUSIC_END|>") + AUDIO_START
+                texts.extend([neg, pos])
+                video_feats.extend([None, None])
+            elif task == "text_to_speech":
+                prompt_codec = r.get("prompt_codec")
+                if prompt_codec is None:
+                    if self.dac is None:
+                        raise RuntimeError("DAC unavailable for prompt_wav")
+                    prompt_codec = self.dac.encode(r["prompt_wav"])
+                codec_ids = self._preprocess_codec(prompt_codec)  # [P, C]
+                span = (
+                    "<|SPEECH_PROMPT_START|>" + r["prompt_text"]
+                    + "<|SPEECH_PROMPT_END|>" + "<|VOICE_PROMPT_START|>"
+                    + "<|AUDIO_PLACEHOLDER|>" * codec_ids.shape[0]
+                    + "<|VOICE_PROMPT_END|>"
+                )
+
+                def with_target(x, span=span):
+                    return span + "<|SPEECH_START|>" + x + "<|SPEECH_END|>"
+
+                neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(with_target("")) + AUDIO_START
+                pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+                    with_target(r["caption"])) + AUDIO_START
+                texts.extend([neg, pos])
+                codec_rows.extend([codec_ids, codec_ids])  # one per CFG row
+                video_feats.extend([None, None])
+            else:  # video_text_to_music
+                from .apps.video import extract_frames, frame_process, video_to_patches
+                from .models.vision import vision_forward
+
+                vcfg = cfg.vision_config
+                if vcfg is None or "vision" not in self.params:
+                    raise RuntimeError("model has no vision tower")
+                m2 = vcfg.spatial_merge_size ** 2
+                v = r["video"]
+                if isinstance(v, str):
+                    frames = extract_frames(v, r.get("sampling_fps", 1),
+                                            r.get("max_frames", 1))
+                    pixels = frame_process(frames,
+                                           total_pixels=r.get("total_pixels", 3 * 28 * 28),
+                                           min_pixels=28 * 28)
+                else:
+                    pixels = np.asarray(v, dtype=np.float32)
+                patches, grid = video_to_patches(
+                    pixels, patch_size=vcfg.patch_size,
+                    temporal_patch_size=vcfg.temporal_patch_size,
+                    merge_size=vcfg.spatial_merge_size,
+                )
+                feats = np.asarray(vision_forward(
+                    self.params["vision"], jnp.asarray(patches), grid[None], vcfg))
+                n_tok = patches.shape[0] // m2
+                span = "<|vision_start|>" + "<|video_pad|>" * n_tok + "<|vision_end|>"
+                neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+                    span + "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
+                pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+                    span + "<|MUSIC_START|>" + r["caption"] + "<|MUSIC_END|>"
+                ) + AUDIO_START
+                texts.extend([neg, pos])
+                video_feats.extend([feats, feats])
+                grids.extend([grid, grid])
+                spgts.extend([vcfg.temporal_patch_size / r.get("fps", 1)] * 2)
+
+        ids, mask = self._tokenize(texts)
+
+        flat_codec = np.concatenate(codec_rows, axis=0) if codec_rows else None
+
+        visual_embeds = visual_mask = position_ids = deltas = None
+        if any(f is not None for f in video_feats):
+            from .models.model import get_rope_index
+
+            D = self.params["embed_tokens"].shape[-1]
+            visual_embeds = np.zeros((ids.shape[0], ids.shape[1], D), np.float32)
+            visual_mask = (ids == cfg.video_token_id).astype(np.int32)
+            for row, f in enumerate(video_feats):
+                slots = np.where(visual_mask[row])[0]
+                if f is None:
+                    assert len(slots) == 0
+                    continue
+                assert len(slots) == f.shape[0], "video tokens != features"
+                visual_embeds[row, slots] = f
+            position_ids, deltas = get_rope_index(
+                ids, cfg, video_grid_thw=np.stack(grids) if grids else None,
+                second_per_grid_ts=spgts or None, attention_mask=mask,
+            )
+
+        # Per-sample knobs (one entry per request == per CFG pair).
+        return self._generate_core(
+            ids, mask, flat_codec, save_name, None, output_dir,
+            np.asarray(p_cfg, np.float32), np.asarray(p_temp, np.float32),
+            np.asarray(p_topp, np.float32), 45,
+            np.asarray(p_eosf, np.float32), do_sample, seed,
+            visual_embeds=visual_embeds, visual_mask=visual_mask,
+            prefill_position_ids=position_ids, rope_deltas=deltas,
+            max_tokens=max(p_max), min_tokens=np.asarray(p_min, np.int32),
+            max_tokens_vec=np.asarray(p_max, np.int32),
         )
 
 

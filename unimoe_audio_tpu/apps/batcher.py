@@ -6,13 +6,13 @@ requests share one generation batch (bench: 8→26× aggregate RTF as B
 grows), so this module coalesces concurrent requests:
 
   * callers submit (task, payload) and block on a Future;
-  * a worker drains the queue every `window_s`, groups compatible requests
-    (same task type), pads the group to a batch-size bucket so compiled
-    programs are reused, and runs ONE batched generation;
+  * a worker drains the queue every `window_s` and coalesces EVERY task
+    type into ONE heterogeneous generation batch via
+    UniMoEAudio.generate_mixed — per-request sampling knobs (cfg_scale,
+    temperature, eos factor, length budgets) ride the batch as per-sample
+    vectors, so TTS/T2M/VT2M requests truly share one decode;
+  * the batch pads to a batch-size bucket so compiled programs are reused;
   * results fan back out to the callers.
-
-Round-1 scope: T2M batching (the framework's text_to_music accepts lists
-natively); TTS/VT2M requests pass through individually.
 """
 
 from __future__ import annotations
@@ -70,60 +70,62 @@ class RequestBatcher:
                 time.sleep(0.005)
         return items
 
+    # Payload-key aliases accepted from callers (checkpoint-variant
+    # spellings, UniMoE_Audio.py:105-118).
+    _TTS_ALIASES = {"transcription": "caption",
+                    "prompt_transcription": "prompt_text"}
+    _SECONDS_KEYS = ("max_audio_seconds", "min_audio_seconds")
+
+    def _to_request(self, task: str, payload: Dict) -> Dict:
+        req = {"task": task}
+        for k, v in payload.items():
+            if k in ("seed", "save_name", "output_dir"):
+                continue
+            req[self._TTS_ALIASES.get(k, k)] = v
+        if task == "text_to_speech":
+            # Reference TTS clamps 2-10 s (examples/inference_framework.py:166-167).
+            req["max_audio_seconds"] = min(float(req.get("max_audio_seconds", 10)), 10)
+            req["min_audio_seconds"] = max(float(req.get("min_audio_seconds", 2)), 2)
+        return req
+
     def _run(self):
         while not self._stop.is_set():
             items = self._drain()
             if not items:
                 continue
-            t2m = [(p, f) for t, p, f in items if t == "text_to_music"]
-            other = [(t, p, f) for t, p, f in items if t != "text_to_music"]
 
-            # Reject empty captions up front — text_to_music silently filters
-            # them, which would misalign batch results across callers.
-            valid_t2m = []
-            for p, fut in t2m:
-                if not str(p.get("caption", "")).strip():
-                    fut.set_exception(ValueError("empty caption"))
-                else:
-                    valid_t2m.append((p, fut))
-
-            # Only requests with IDENTICAL generation params may share a
-            # batch; others run as separate groups.
-            groups = {}
-            for p, fut in valid_t2m:
-                key = tuple(sorted((k, v) for k, v in p.items() if k != "caption"))
-                groups.setdefault(key, []).append((p, fut))
-
-            for group in groups.values():
-                captions = [p["caption"] for p, _ in group]
-                b = _bucket(len(captions))
-                padded = captions + [captions[-1]] * (b - len(captions))
+            batch = []   # (request_dict, fut)
+            for t, p, fut in items:
                 try:
-                    paths = self.model.text_to_music(
-                        padded, output_dir=self.output_dir,
-                        save_name=f"batch_{int(time.time() * 1e3)}",
-                        **{k: v for k, v in group[0][0].items()
-                           if k != "caption"},
-                    )
-                    assert len(paths) >= len(group), "batch result misaligned"
-                    for i, (_, fut) in enumerate(group):
-                        if not fut.done():
-                            fut.set_result(paths[i])
-                except Exception as e:  # noqa: BLE001
-                    for _, fut in group:
-                        if not fut.done():
-                            fut.set_exception(e)
-
-            for t, p, fut in other:
-                try:
-                    if t == "text_to_speech":
-                        out = self.model.text_to_speech(
-                            output_dir=self.output_dir, **p)
-                    elif t == "video_text_to_music":
-                        out = self.model.video_text_to_music(
-                            output_dir=self.output_dir, **p)
-                    else:
-                        raise ValueError(f"unknown task: {t}")
-                    fut.set_result(out[0] if isinstance(out, list) and out else out)
+                    if t in ("text_to_music", "video_text_to_music") and not str(
+                        p.get("caption", "")
+                    ).strip():
+                        raise ValueError("empty caption")
+                    if t == "text_to_speech" and not str(
+                        p.get("caption", p.get("transcription", ""))
+                    ).strip():
+                        raise ValueError("empty target text")
+                    batch.append((self._to_request(t, p), fut))
                 except Exception as e:  # noqa: BLE001
                     fut.set_exception(e)
+            if not batch:
+                continue
+
+            reqs = [r for r, _ in batch]
+            b = _bucket(len(reqs))
+            padded = reqs + [reqs[-1]] * (b - len(reqs))
+            seed = next((p.get("seed") for _, p, _ in items
+                         if isinstance(p, dict) and p.get("seed") is not None), None)
+            try:
+                paths = self.model.generate_mixed(
+                    padded, output_dir=self.output_dir,
+                    save_name=f"batch_{int(time.time() * 1e3)}", seed=seed,
+                )
+                assert len(paths) >= len(batch), "batch result misaligned"
+                for i, (_, fut) in enumerate(batch):
+                    if not fut.done():
+                        fut.set_result(paths[i])
+            except Exception as e:  # noqa: BLE001
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)

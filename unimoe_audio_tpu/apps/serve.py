@@ -85,8 +85,9 @@ def measure_ttfa(model, *, n_trials: int = 5, text: str = "A peaceful piano melo
 
 def main():
     parser = argparse.ArgumentParser(description="UniMoE-Audio TPU serving")
-    parser.add_argument("--multihost", action="store_true",
-                        help="call jax.distributed.initialize() for pods")
+    from unimoe_audio_tpu.parallel.multihost import add_multihost_args
+
+    add_multihost_args(parser)
     parser.add_argument("--model", default=None)
     parser.add_argument("--ep-size", type=int, default=1)
     parser.add_argument("--tp-size", type=int, default=1)
@@ -98,13 +99,11 @@ def main():
     parser.add_argument("--measure-latency", action="store_true")
     args = parser.parse_args()
 
-    if args.multihost:
-        import jax
+    from unimoe_audio_tpu.parallel.multihost import maybe_initialize_multihost
 
-        # Multi-host pods: coordinator/address from TPU metadata env — the
-        # one-line replacement for the deepspeed launcher's
-        # master_addr/master_port plumbing (script/training.sh:34-37).
-        jax.distributed.initialize()
+    # Multi-host pods: the one-line replacement for the deepspeed
+    # launcher's master_addr/master_port plumbing (script/training.sh:34-37).
+    maybe_initialize_multihost(args)
 
     model = build_server(
         args.model, ep_size=args.ep_size, tp_size=args.tp_size,

@@ -83,12 +83,13 @@ def generate_jit(
     return_state: bool = False,
     debug_guidance_step: int = 0,
     max_tokens: int,
-    min_tokens: jnp.ndarray,         # scalar int32
-    cfg_scale: jnp.ndarray,          # scalar f32
-    temperature: jnp.ndarray,        # scalar f32
-    top_p: jnp.ndarray,              # scalar f32
+    min_tokens: jnp.ndarray,         # scalar or [B] int32
+    cfg_scale: jnp.ndarray,          # scalar or [B] f32
+    temperature: jnp.ndarray,        # scalar or [B] f32
+    top_p: jnp.ndarray,              # scalar or [B] f32
     cfg_filter_top_k: int,
-    eos_prob_mul_factor: jnp.ndarray,  # scalar f32
+    eos_prob_mul_factor: jnp.ndarray,  # scalar or [B] f32
+    max_tokens_vec: Optional[jnp.ndarray] = None,  # [B] per-sample budget
     do_sample: bool = True,
     dispatch_mode: str = "dense",
     decode_dispatch_mode: Optional[str] = None,  # None = dispatch_mode
@@ -116,6 +117,22 @@ def generate_jit(
             "resume cache length must match cache_len; pad it before resuming"
         )
     buf_len = prefill_buf.shape[1]
+
+    # Heterogeneous batches (mixed TTS/T2M/VT2M serving): every sampling
+    # knob broadcasts from a scalar to per-sample [B] so requests with
+    # different CFG scales / temperatures / length budgets share one batch.
+    def per_sample(x, dtype):
+        return jnp.broadcast_to(jnp.asarray(x, dtype).reshape(-1), (B,))
+
+    min_tokens = per_sample(min_tokens, jnp.int32)
+    cfg_scale = per_sample(cfg_scale, jnp.float32)
+    temperature = per_sample(temperature, jnp.float32)
+    top_p = per_sample(top_p, jnp.float32)
+    eos_prob_mul_factor = per_sample(eos_prob_mul_factor, jnp.float32)
+    mt_vec = (
+        per_sample(max_tokens_vec, jnp.int32) if max_tokens_vec is not None
+        else jnp.full((B,), max_tokens, jnp.int32)
+    )
 
     # ---------------- prefill (skipped when resuming a chunked decode) ----
     if resume_state is None:
@@ -231,10 +248,11 @@ def generate_jit(
         # (reference: utils/UniMoE_Audio_model.py:991-999).
         pair = logits.reshape(B, 2, C, Vc)
         uncond, cond = pair[:, 0], pair[:, 1]
-        logits_B = jnp.where(cfg_scale != 0, cond + cfg_scale * (cond - uncond), cond)
+        scale_b = cfg_scale[:, None, None]
+        logits_B = jnp.where(scale_b != 0, cond + scale_b * (cond - uncond), cond)
 
         # EOS gating (reference: utils/UniMoE_Audio_model.py:1001-1017).
-        enable_eos = dec_step >= min_tokens
+        enable_eos = (dec_step >= min_tokens)[:, None, None]  # [B,1,1]
         col = jnp.arange(Vc)[None, None, :]
         ch = jnp.arange(C)[None, :, None]
         kill = (col > eos) | ((ch > 0) & (col >= eos)) | (
@@ -242,14 +260,18 @@ def generate_jit(
         )
         logits_B = jnp.where(kill, NEG_INF, logits_B)
         eos_slot = (ch == 0) & (col == eos)
-        logits_B = jnp.where(eos_slot, logits_B * eos_prob_mul_factor, logits_B)
+        logits_B = jnp.where(
+            eos_slot, logits_B * eos_prob_mul_factor[:, None, None], logits_B
+        )
 
         rng, sample_key = jax.random.split(s.rng)
         flat = logits_B.reshape(B * C, Vc)
         if do_sample:
             pred = sample_next_token(
                 sample_key, flat,
-                temperature=temperature, top_p=top_p, top_k=cfg_filter_top_k,
+                temperature=jnp.repeat(temperature, C),
+                top_p=jnp.repeat(top_p, C),
+                top_k=cfg_filter_top_k,
                 audio_eos_value=eos,
             )
         else:
@@ -283,7 +305,7 @@ def generate_jit(
         # (reference: utils/UniMoE_Audio_model.py:1173-1197) ---
         active = s.eos_countdown != 0
         is_eos_tok = (~s.eos_detected) & (pred[:, 0] == eos)
-        is_max_len = current_step >= (max_tokens - max_delay)
+        is_max_len = current_step >= (mt_vec - max_delay)  # per-sample budget
         trigger = active & (is_eos_tok | is_max_len)
         eos_detected = s.eos_detected | trigger
         start_cd = trigger & (s.eos_countdown < 0)

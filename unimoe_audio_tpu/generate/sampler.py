@@ -28,7 +28,16 @@ def sample_next_token(
     audio_eos_value: Optional[int],
 ) -> jnp.ndarray:
     """Sample one token per row.  Use greedy=argmax at the caller for
-    temperature==0 (the reference's early-exit branch)."""
+    temperature==0 (the reference's early-exit branch).
+
+    temperature/top_p may be scalars or per-row [N] vectors (heterogeneous
+    serving batches mix tasks with different sampling knobs)."""
+    temperature = jnp.asarray(temperature, jnp.float32)
+    top_p = jnp.asarray(top_p, jnp.float32)
+    if temperature.ndim == 1:
+        temperature = temperature[:, None]
+    if top_p.ndim == 1:
+        top_p = top_p[:, None]
     logits = logits_NxV.astype(jnp.float32) / jnp.maximum(temperature, 1e-8)
     V = logits.shape[-1]
 
@@ -52,7 +61,7 @@ def sample_next_token(
         top_probs = jax.nn.softmax(top_vals, axis=-1)
         csum = jnp.cumsum(top_probs, axis=-1)
         keep = jnp.roll(csum <= top_p, 1, axis=-1).at[:, 0].set(True)
-        keep = keep | (jnp.float32(top_p) >= 1.0)
+        keep = keep | (top_p >= 1.0)
         sub_logits = jnp.where(keep, top_vals, NEG_INF)
         choice = jax.random.categorical(rng, sub_logits, axis=-1)  # [N] in [0,k)
         return jnp.take_along_axis(top_ids, choice[:, None], axis=-1)[:, 0]
@@ -65,7 +74,7 @@ def sample_next_token(
     # Token at sorted rank 0 always kept; rank i kept iff csum[i-1] <= p
     # (the reference's roll-by-one, utils/UniMoE_Audio_model.py:904-906).
     sorted_keep = jnp.roll(csum <= top_p, 1, axis=-1).at[:, 0].set(True)
-    sorted_keep = sorted_keep | (jnp.float32(top_p) >= 1.0)
+    sorted_keep = sorted_keep | (top_p >= 1.0)
     keep = jnp.put_along_axis(
         jnp.zeros_like(sorted_keep), order, sorted_keep, axis=-1, inplace=False
     )

@@ -96,36 +96,51 @@ def pad_expert_ffn(params: Dict, multiple: int = 128) -> Dict:
     (the MXU pads every K tile).  Padding is numerics-exact:
     silu(0)·0 == 0 in the padded gate/up outputs, and the padded down
     rows only ever multiply those zeros.
-    """
-    import numpy as np
 
-    def pad_group(g):
-        if not isinstance(g, dict) or "gate" not in g:
-            return g
-        F = g["gate"].shape[-1]
+    MUTATES and returns `params`, padding leaf by leaf.  At flagship size
+    call it on ALREADY-QUANTIZED params (QTensor leaves are handled): a
+    pad is a shape-changing copy, so padding the bf16 originals peaks at
+    ~16 GB of HBM while padding int8 peaks under 9 GB.
+    """
+    import gc
+
+    def pad_leaf(node, key, axis):
+        w = node[key]
+        q = w.q if isinstance(w, QTensor) else w
+        F = q.shape[axis]
         Fp = -(-F // multiple) * multiple
         if Fp == F:
-            return g
-        return {
-            "gate": jnp.pad(g["gate"], [(0, 0)] * (g["gate"].ndim - 1) + [(0, Fp - F)]),
-            "up": jnp.pad(g["up"], [(0, 0)] * (g["up"].ndim - 1) + [(0, Fp - F)]),
-            "down": jnp.pad(
-                g["down"],
-                [(0, 0)] * (g["down"].ndim - 2) + [(0, Fp - F), (0, 0)],
-            ),
-        }
+            return
+        pads = [(0, 0)] * q.ndim
+        pads[axis] = (0, Fp - F)
+        if isinstance(w, QTensor):
+            qp = jax.jit(lambda x: jnp.pad(x, pads))(w.q)
+            s = w.s
+            if axis % q.ndim == q.ndim - 1:
+                # padded OUTPUT channels need a (harmless, nonzero) scale
+                s_pads = [(0, 0)] * s.ndim
+                s_pads[-1] = (0, Fp - F)
+                s = jax.jit(lambda x: jnp.pad(x, s_pads, constant_values=1.0))(s)
+            node[key] = QTensor(q=qp, s=s)
+        else:
+            node[key] = jax.jit(lambda x: jnp.pad(x, pads))(w)
+        del w, q
+        gc.collect()
 
     def walk(node):
         if isinstance(node, dict):
             if "dynamic" in node and "fixed" in node:  # a moe param group
-                out = dict(node)
-                out["dynamic"] = pad_group(node["dynamic"])
-                out["fixed"] = pad_group(node["fixed"])
-                return out
-            return {k: walk(v) for k, v in node.items()}
-        return node
+                for g in (node["dynamic"], node["fixed"]):
+                    if isinstance(g, dict) and "gate" in g:
+                        pad_leaf(g, "gate", -1)
+                        pad_leaf(g, "up", -1)
+                        pad_leaf(g, "down", -2)
+                return
+            for v in node.values():
+                walk(v)
 
-    return walk(params)
+    walk(params)
+    return params
 
 
 def quantize_model_params(params: Dict) -> Dict:

@@ -72,8 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gradient_checkpointing", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_steps", type=int, default=None)
-    p.add_argument("--multihost", action="store_true",
-                   help="call jax.distributed.initialize() for pods")
+    from ..parallel.multihost import add_multihost_args
+
+    add_multihost_args(p)
     p.add_argument("--peft_mode", choices=["lora", "prefix", "ptuning", "prompt"],
                    default=None,
                    help="parameter-efficient finetuning: adapters train, base "
@@ -90,8 +91,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    if args.multihost:
-        jax.distributed.initialize()
+    from ..parallel.multihost import maybe_initialize_multihost
+
+    maybe_initialize_multihost(args)
 
     from ..config import UniMoEAudioConfig
     from ..models.model import init_model_params
