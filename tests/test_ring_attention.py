@@ -1,0 +1,101 @@
+"""Ring attention (sequence parallelism) on the 8-device CPU mesh:
+sharded == unsharded oracle; full layer stack with ring == without."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax.experimental.shard_map import shard_map
+except ImportError:
+    from jax.shard_map import shard_map
+
+from unimoe_audio_tpu.ops.flash_attention import _reference_attention
+from unimoe_audio_tpu.ops.ring_attention import ring_attention
+
+
+def seq_mesh(n=8):
+    return Mesh(np.array(jax.devices()[:n]), ("seq",))
+
+
+@pytest.mark.parametrize("B,H,KV,T,pad", [(2, 4, 2, 64, 0), (1, 8, 2, 128, 5)])
+def test_ring_matches_reference(B, H, KV, T, pad):
+    Dh = 32
+    ks = jax.random.split(jax.random.PRNGKey(T + pad), 3)
+    q = jax.random.normal(ks[0], (B, H, T, Dh), jnp.float32) * 0.4
+    k = jax.random.normal(ks[1], (B, KV, T, Dh), jnp.float32) * 0.4
+    v = jax.random.normal(ks[2], (B, KV, T, Dh), jnp.float32)
+    valid = jnp.ones((B, T), jnp.int32)
+    if pad:
+        valid = valid.at[0, :pad].set(0)  # left padding
+
+    mesh = seq_mesh()
+    fn = shard_map(
+        lambda q_, k_, v_, val: ring_attention(
+            q_, k_, v_, val, axis_name="seq", causal=True),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None),) * 3 + (P(None, "seq"),),
+        out_specs=P(None, None, "seq", None),
+        check_rep=False,
+    )
+    got = jax.jit(fn)(q, k, v, valid)
+    want = _reference_attention(q, k, v, valid, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_ring_full_stack_matches_unsharded():
+    """text_model_forward with ring attention over an 8-way seq mesh ==
+    the plain (full-sequence) forward."""
+    from unimoe_audio_tpu.config import tiny_test_config
+    from unimoe_audio_tpu.models.model import init_model_params, text_model_forward
+
+    cfg = tiny_test_config().text_config
+    params = init_model_params(
+        jax.random.PRNGKey(0),
+        __import__("unimoe_audio_tpu.config", fromlist=["x"]).tiny_test_config(),
+        dtype=jnp.float32,
+    )
+    B, T = 2, 64
+    emb = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.hidden_size)) * 0.1
+    pos = jnp.broadcast_to(jnp.arange(T)[None, None], (3, B, T))
+    mask = jnp.ones((B, T), jnp.int32)
+
+    base = text_model_forward(params, emb, pos, cfg, kv_valid_mask=mask)
+    mesh = seq_mesh()
+    ringed = jax.jit(
+        lambda p, e: text_model_forward(
+            p, e, pos, cfg, kv_valid_mask=mask, ring=(mesh, "seq"),
+        ).last_hidden_state
+    )(params, emb)
+    np.testing.assert_allclose(
+        np.asarray(ringed), np.asarray(base.last_hidden_state),
+        rtol=3e-5, atol=3e-5,
+    )
+
+
+def test_ring_beyond_single_chunk_memory():
+    """The ring path never builds a full [T, T] score block: per-step
+    blocks are [Tc, Tc] = [T/p, T/p].  Verify numerics at a T where the
+    per-device score chunk is 64x smaller than the full matrix."""
+    B, H, KV, T, Dh = 1, 2, 2, 512, 32
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (B, H, T, Dh), jnp.float32) * 0.3
+    k = jax.random.normal(ks[1], (B, KV, T, Dh), jnp.float32) * 0.3
+    v = jax.random.normal(ks[2], (B, KV, T, Dh), jnp.float32)
+    valid = jnp.ones((B, T), jnp.int32)
+    mesh = seq_mesh()
+    fn = shard_map(
+        lambda q_, k_, v_, val: ring_attention(
+            q_, k_, v_, val, axis_name="seq", causal=True),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None),) * 3 + (P(None, "seq"),),
+        out_specs=P(None, None, "seq", None),
+        check_rep=False,
+    )
+    got = jax.jit(fn)(q, k, v, valid)
+    want = _reference_attention(q, k, v, valid, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)

@@ -114,6 +114,7 @@ def attention(
     is_sliding: Optional[jnp.ndarray] = None,      # traced bool: window this layer
     decode_emit: bool = False,
     prefix_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # [n, KV, Dh] each
+    ring: Optional[Tuple] = None,   # (Mesh, axis_name): ring attention over T
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """GQA attention (q/k/v with bias, o without — Qwen2.5 layout).
 
@@ -208,6 +209,46 @@ def attention(
         out = attend_window(T_kv)
         out = proj_matmul(out.reshape(B, 1, H * Dh), params["o_proj"])
         return out, (k, v)
+
+    if ring is not None:
+        # Ring attention (sequence/context parallelism): q/k/v shard over
+        # the sequence dim along the given mesh axis; K/V chunks rotate via
+        # ppermute with an online-softmax merge (ops/ring_attention).  No
+        # device holds full-sequence K/V or any full [T, T] score block.
+        assert cache_kv is None and prefix_kv is None and causal, (
+            "ring attention supports the causal no-cache path"
+        )
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax.experimental.shard_map import shard_map
+        except ImportError:  # newer JAX
+            from jax.shard_map import shard_map
+
+        from ..ops.ring_attention import ring_attention
+
+        mesh, axis = ring
+        valid = (
+            kv_valid_mask[:, :T].astype(jnp.int32) if kv_valid_mask is not None
+            else jnp.ones((B, T), jnp.int32)
+        )
+        fn = shard_map(
+            lambda q_, k_, v_, val: ring_attention(
+                q_, k_, v_, val, axis_name=axis, causal=True
+            ),
+            mesh=mesh,
+            in_specs=(
+                P(None, None, axis, None), P(None, None, axis, None),
+                P(None, None, axis, None), P(None, axis),
+            ),
+            out_specs=P(None, None, axis, None),
+            check_rep=False,
+        )
+        out = fn(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), valid,
+        ).transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
+        out = proj_matmul(out, params["o_proj"])
+        return out, None
 
     if cache_kv is not None:
         k_all, v_all = update_cache_slice(cache_kv[0], cache_kv[1], k, v, cache_position)

@@ -71,6 +71,7 @@ def text_model_forward(
     hidden_sharding=None,
     decode_emit: Optional[bool] = None,  # None = auto (cache and T == 1)
     prefix_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # [L, n, KV, Dh] each
+    ring: Optional[Tuple] = None,        # (Mesh, axis): sequence-parallel attention
 ) -> TextModelOutput:
     """36-layer decoder stack as one lax.scan over stacked layer params.
 
@@ -128,6 +129,7 @@ def text_model_forward(
             is_sliding=is_sliding if cfg.has_sliding_layers else None,
             decode_emit=decode_emit,
             prefix_kv=(pre_k, pre_v) if prefix_kv is not None else None,
+            ring=ring,
         )
         h = residual + attn_out
         residual = h
