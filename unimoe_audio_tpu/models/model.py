@@ -82,7 +82,9 @@ def text_model_forward(
     B, T, Dm = inputs_embeds.shape
     cos, sin = compute_mrope(position_ids, cfg.head_dim, cfg.rope_theta, cfg.mrope_section)
 
-    L = cfg.num_hidden_layers
+    # Derive the depth from the actual layer stack — callers may pass a
+    # sliced stack (speculative draft prefix, pipeline stages).
+    L = params["layers"]["input_layernorm"].shape[0]
     layer_rngs = (
         jax.random.split(rng, L) if rng is not None else jnp.zeros((L, 2), dtype=jnp.uint32)
     )
@@ -94,7 +96,7 @@ def text_model_forward(
     if cfg.has_sliding_layers:
         sliding_flags = jnp.asarray(
             [t == "sliding_attention" for t in cfg.layer_types], dtype=bool
-        )
+        )[:L]
         use_flash = False
     else:
         sliding_flags = jnp.zeros((L,), dtype=bool)
