@@ -135,3 +135,47 @@ def test_batcher_interleaved_multitask(tmp_path):
     assert all(p.endswith(".wav") for p in paths)
     # all three interleaved tasks shared one generate_mixed batch
     assert len(calls) == 1 and calls[0] >= 3
+
+
+def test_batcher_interleaved_three_tasks(tmp_path):
+    """All THREE tasks (TTS + T2M + VT2M) coalesce into one mixed batch."""
+    from tests.test_vt2m import VisionStubTokenizer
+
+    cfg = tiny_test_config(with_vision=True)
+    model = UniMoEAudio(None, allow_random=True, config=cfg,
+                        tokenizer=VisionStubTokenizer(cfg), max_tokens=16,
+                        min_tokens=4)
+    ref = _ref_wav(model, tmp_path, "ref3.wav")
+    codec = model.dac.encode(ref)
+    video = np.random.default_rng(0).uniform(
+        0, 255, size=(2, 3, 56, 56)).astype(np.float32)
+
+    calls = []
+    orig = model.generate_mixed
+
+    def spy(reqs, **kw):
+        calls.append([r["task"] for r in reqs])
+        return orig(reqs, **kw)
+
+    model.generate_mixed = spy
+    batcher = RequestBatcher(model, window_s=0.5, output_dir=str(tmp_path))
+    futs = [
+        batcher.submit("text_to_music", {"caption": "beat", "seed": 7,
+                                         "max_audio_seconds": 16 / 50,
+                                         "min_audio_seconds": 4 / 50}),
+        batcher.submit("video_text_to_music", {"caption": "drums",
+                                               "video": video,
+                                               "max_frames": 2,
+                                               "max_audio_seconds": 16 / 50,
+                                               "min_audio_seconds": 4 / 50}),
+        batcher.submit("text_to_speech", {"caption": "speak", "prompt_text": "r",
+                                          "prompt_codec": codec,
+                                          "max_audio_seconds": 16 / 50,
+                                          "min_audio_seconds": 4 / 50}),
+    ]
+    paths = [f.result(timeout=900) for f in futs]
+    batcher.close()
+    assert len(set(paths)) == 3 and all(p.endswith(".wav") for p in paths)
+    assert len(calls) == 1
+    assert set(calls[0][:3]) == {"text_to_music", "video_text_to_music",
+                                 "text_to_speech"}
