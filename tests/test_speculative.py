@@ -27,12 +27,16 @@ def _setup(max_tokens=40, min_tokens=4):
 
 
 def _baseline(cfg, params, ids, attn, buf, steps, max_tokens, min_tokens):
+    # decode_emit=False: the general cache-attention arithmetic, which the
+    # speculative verify's multi-frame chunks are bit-identical to (the
+    # emit fast path rounds bf16 in a different op order).
     return generate_jit(
         params, cfg, ids, attn, None, buf, steps, jax.random.PRNGKey(1),
         max_tokens=max_tokens, min_tokens=jnp.int32(min_tokens),
         cfg_scale=jnp.float32(3.0), temperature=jnp.float32(1.0),
         top_p=jnp.float32(1.0), cfg_filter_top_k=10,
         eos_prob_mul_factor=jnp.float32(0.8), do_sample=False,
+        decode_emit=False,
     )
 
 
@@ -77,3 +81,24 @@ def test_speculative_fewer_cycles_with_good_draft():
     frames = int(spec.frames)
     cycles = int(spec.cycles)
     assert frames / cycles > 2.5, (frames, cycles)  # ~4 frames per full fwd
+
+
+def test_api_speculative_t2m_matches_greedy(tmp_path):
+    """UniMoEAudio.text_to_music_speculative == text_to_music greedy."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_api import StubTokenizer
+    from unimoe_audio_tpu.api import UniMoEAudio
+    from unimoe_audio_tpu.codec import audio_io
+
+    cfg = tiny_test_config()
+    m = UniMoEAudio(None, allow_random=True, config=cfg,
+                    tokenizer=StubTokenizer(cfg), max_tokens=16, min_tokens=4)
+    spec = m.text_to_music_speculative(
+        "melody", output_dir=str(tmp_path / "s"), spec_len=3, draft_layers=2)
+    base = m.text_to_music("melody", output_dir=str(tmp_path / "b"),
+                           do_sample=False, seed=0, decode_emit=False)
+    a, _ = audio_io.read_wav(spec[0])
+    b, _ = audio_io.read_wav(base[0])
+    n = min(a.shape[-1], b.shape[-1])
+    np.testing.assert_allclose(a[..., :n], b[..., :n], atol=1e-6)

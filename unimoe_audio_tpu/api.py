@@ -231,6 +231,7 @@ class UniMoEAudio:
         max_tokens: Optional[int] = None,
         min_tokens=None,
         max_tokens_vec: Optional[np.ndarray] = None,  # [B] per-sample budget
+        decode_emit: Optional[bool] = None,
     ) -> List[str]:
         """cfg_scale / temperature / top_p / eos_prob_mul_factor /
         min_tokens accept floats OR per-sample [B] arrays (heterogeneous
@@ -290,6 +291,7 @@ class UniMoEAudio:
                 jnp.asarray(max_tokens_vec, jnp.int32)
                 if max_tokens_vec is not None else None
             ),
+            decode_emit=decode_emit,
             **dispatch_kw,
         )
 
@@ -332,6 +334,7 @@ class UniMoEAudio:
         seed: Optional[int] = None,
         max_audio_seconds: Optional[int] = None,
         min_audio_seconds: Optional[int] = None,
+        decode_emit: Optional[bool] = None,
         **_ignored,
     ) -> List[str]:
         """Text-to-music (reference: utils/UniMoE_Audio_mod.py:294-366;
@@ -362,7 +365,7 @@ class UniMoEAudio:
             ids, mask, None, save_name, rebuild_codec, output_dir,
             cfg_scale, temperature, top_p, cfg_filter_top_k,
             eos_prob_mul_factor, do_sample, seed,
-            max_tokens=mt, min_tokens=mn,
+            max_tokens=mt, min_tokens=mn, decode_emit=decode_emit,
         )
         print(f"Music generation completed! Time: {time.time() - t0:.2f}s")
         return paths
@@ -582,6 +585,62 @@ class UniMoEAudio:
             rope_deltas=deltas,
         )
 
+
+    def text_to_music_speculative(
+        self,
+        caption: str,
+        *,
+        save_name: str = "music_spec",
+        output_dir: str = "./",
+        cfg_scale: float = 10.0,
+        eos_prob_mul_factor: float = 0.6,
+        spec_len: int = 4,
+        draft_layers: Optional[int] = None,
+        max_audio_seconds: Optional[int] = None,
+        min_audio_seconds: Optional[int] = None,
+    ) -> List[str]:
+        """Single-stream T2M via self-speculative GREEDY decoding —
+        bit-identical output to text_to_music(do_sample=False), with the
+        full model verifying spec_len draft frames per weight stream
+        (generate/speculative.py).  Throughput scales with the draft
+        agreement rate; quality is exactly equal by construction."""
+        from .generate.speculative import speculative_generate_jit
+
+        cfg = self.config
+        mt = int(max_audio_seconds * 50) if max_audio_seconds else self.MAX_TOKENS
+        mn = int(min_audio_seconds * 50) if min_audio_seconds else self.MIN_TOKENS
+        draft_layers = draft_layers or max(1, cfg.text_config.num_hidden_layers // 4)
+        neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+            "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
+        pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+            "<|MUSIC_START|>" + caption + "<|MUSIC_END|>") + AUDIO_START
+        ids, mask = self._tokenize([neg, pos])
+        prefill, steps = dl.prepare_audio_prompt(
+            [None], num_channels=cfg.codec_channels,
+            bos_value=cfg.codec_bos_value, delay_pattern=cfg.codec_delay_pattern)
+        buf = pad_buffer(prefill, mt)
+        res = speculative_generate_jit(
+            self.params, cfg, jnp.asarray(ids), jnp.asarray(mask), None,
+            buf, jnp.asarray(steps, jnp.int32),
+            max_tokens=mt, min_tokens=jnp.int32(mn),
+            cfg_scale=jnp.float32(cfg_scale),
+            eos_prob_mul_factor=jnp.float32(eos_prob_mul_factor),
+            spec_len=spec_len, draft_layers=draft_layers,
+        )
+        audios = dl.generate_output(
+            res.codes, res.lengths,
+            pad_value=cfg.codec_pad_value, delay_pattern=cfg.codec_delay_pattern)
+        os.makedirs(output_dir, exist_ok=True)
+        out = []
+        for i, frames in enumerate(audios):
+            path = os.path.join(output_dir, f"generated_{save_name}_{i}.wav")
+            if self.dac is not None:
+                self.dac.decode(frames.T[None], save_path=path, min_duration=1)
+            else:
+                np.save(path + ".codes.npy", frames)
+                path += ".codes.npy"
+            out.append(path)
+        return out
 
     # ------------------------------------------------------------------
     # Mixed-task batch generation (one decode batch for interleaved

@@ -60,6 +60,7 @@ class _LoopState(NamedTuple):
         "cfg", "max_tokens", "cfg_filter_top_k", "do_sample", "dispatch_mode",
         "debug_guidance_step", "return_state", "cache_len",
         "decode_dispatch_mode", "decode_capacity", "prefill_capacity",
+        "decode_emit",
     ),
 )
 def generate_jit(
@@ -96,6 +97,11 @@ def generate_jit(
     decode_capacity: Optional[int] = None,       # static, for 'packed' decode
     prefill_capacity: Optional[int] = None,      # static, for 'packed' prefill
     prefix_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # [L, n, KV, Dh]
+    # None = the emit-only KV fast path (production default).  False = the
+    # general cache-attention arithmetic — bit-identical to multi-frame
+    # chunk forwards, which is what speculative decoding verifies against
+    # (the two paths agree mathematically but round bf16 differently).
+    decode_emit: Optional[bool] = None,
 ) -> GenerateResult:
     tc = cfg.text_config
     B2, T_text = input_ids.shape
@@ -240,6 +246,7 @@ def generate_jit(
             kv_valid_mask=kv_valid,
             dispatch_mode=decode_dispatch_mode or dispatch_mode,
             capacity=decode_capacity,
+            decode_emit=decode_emit,
         )
         hidden = step_out.last_hidden_state  # [2B, 1, D]
         logits = codec_logits_from_hidden(params, hidden, cfg)[:, 0]  # [2B, C, Vc]

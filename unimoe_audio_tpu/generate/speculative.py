@@ -6,9 +6,13 @@ amortizes the stream: a cheap DRAFT (the first `draft_layers` of the SAME
 model + final norm + codec head — no extra weights, no training) proposes
 `spec_len` frames autoregressively, then ONE full-model forward over the
 whole chunk verifies them.  Greedy acceptance keeps the output
-BIT-IDENTICAL to the baseline greedy decode (tested), so sample quality
-is exactly equal by construction; throughput scales with the draft
-agreement rate α as E[frames/cycle] = n_accepted + 1.
+BIT-IDENTICAL to the baseline greedy decode computed with the same
+attention arithmetic — generate_jit(decode_emit=False), tested — so
+sample quality is exactly equal by construction.  (The production
+emit-only decode path rounds bf16 in a different op order; outputs can
+differ from either by occasional argmax tie flips — the standard
+speculative-decoding caveat about backend reduction order.)  Throughput
+scales with the draft agreement rate α as E[frames/cycle] = n_acc + 1.
 
 Anchor: the reference's 50 Hz AR loop (utils/UniMoE_Audio_model.py:918-1068)
 and PAPERS.md's speculative/multi-token retrieval.  Scope: B = 1 stream
@@ -103,8 +107,9 @@ def speculative_generate_jit(
     dispatch_mode: str = "dense",
     decode_capacity: Optional[int] = None,
 ) -> SpecResult:
-    """Greedy speculative decode, bit-identical to generate_jit's greedy
-    path (do_sample=False) — tested in tests/test_speculative.py."""
+    """Greedy speculative decode, bit-identical to
+    generate_jit(do_sample=False, decode_emit=False) — tested in
+    tests/test_speculative.py."""
     tc = cfg.text_config
     B2, T_text = input_ids.shape
     assert B2 == 2, "speculative decode targets the single-stream mode"
