@@ -233,12 +233,17 @@ def moe_ffn_gmm(
 ) -> jnp.ndarray:
     """Ragged grouped-GEMM path (Pallas megablox `gmm`).
 
-    The true TPU-native replacement for the reference's
-    compress→all-to-all→chunked-experts pipeline (SURVEY.md §7.3): flatten
-    (token, expert) assignments, sort them expert-major (stable ⇒ grouped
-    and sequence-ordered), and run ONE grouped matmul per projection whose
-    compute is proportional to the ACTUAL number of assignments — no
-    all-experts dense work, no capacity padding per expert.
+    Flattens (token, expert) assignments, sorts them expert-major (stable
+    ⇒ grouped and sequence-ordered), and runs ONE grouped matmul per
+    projection whose compute is proportional to the ACTUAL number of
+    assignments — no all-experts dense work, no capacity padding.
+
+    MEASURED VERDICT (v5e, round 2, docs/STATUS.md): gmm loses 3-7x to
+    dense/packed at every regime tried — decode shapes, S=4096/8192
+    training shapes, uniform k=2 and 80%-skew, with 128-aligned FFN dims.
+    Kept as an exactness-tested mode, NOT a recommended path; 'dense'
+    (skewed loads) and 'packed' (uniform low-k) are the production
+    choices.
 
     assignment_budget: static row count (multiple of 128) for the packed
     assignment matrix.  None → S·E (exact, never drops).  Overflow beyond
