@@ -239,6 +239,41 @@ class UniMoEAudio:
         cfg = self.config
         max_tokens = max_tokens if max_tokens is not None else self.MAX_TOKENS
         min_tokens = min_tokens if min_tokens is not None else self.MIN_TOKENS
+
+        # PEFT adapters apply at inference (HF get_peft_model generates
+        # with adapters; reference training_utils.py:121-163):
+        #   prefix  -> learned per-layer KV injected into the cache;
+        #   prompt/P-tuning -> soft tokens prepended, carried through the
+        #   visual_embeds scatter (placeholder ids + embedding overrides).
+        peft_prefix = None
+        if isinstance(self.params, dict) and "peft" in self.params:
+            from .train.peft import prefix_kv as _prefix_kv
+            from .train.peft import virtual_embeds as _virtual_embeds
+
+            peft_prefix = _prefix_kv(self.params["peft"], cfg)
+            virt = _virtual_embeds(self.params["peft"])
+            if virt is not None:
+                assert prefill_position_ids is None, (
+                    "soft-prompt adapters with explicit vision positions "
+                    "are not supported yet"
+                )
+                n = virt.shape[0]
+                R = input_ids.shape[0]
+                virt_np = np.asarray(virt, dtype=np.float32)
+                pad_ids = np.zeros((R, n), input_ids.dtype)
+                input_ids = np.concatenate([pad_ids, input_ids], axis=1)
+                attention_mask = np.concatenate(
+                    [np.ones((R, n), attention_mask.dtype), attention_mask], axis=1)
+                D = virt_np.shape[-1]
+                ve = np.zeros(input_ids.shape + (D,), np.float32)
+                vm = np.zeros(input_ids.shape, np.int32)
+                ve[:, :n] = virt_np[None]
+                vm[:, :n] = 1
+                if visual_embeds is not None:
+                    ve[:, n:] = visual_embeds
+                    vm[:, n:] = visual_mask
+                visual_embeds, visual_mask = ve, vm
+
         batch_size = input_ids.shape[0] // 2
 
         prefill, prefill_steps = dl.prepare_audio_prompt(
@@ -292,6 +327,7 @@ class UniMoEAudio:
                 if max_tokens_vec is not None else None
             ),
             decode_emit=decode_emit,
+            prefix_kv=peft_prefix,
             **dispatch_kw,
         )
 
