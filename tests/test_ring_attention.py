@@ -99,3 +99,33 @@ def test_ring_beyond_single_chunk_memory():
     want = _reference_attention(q, k, v, valid, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_ring_gradients_match_reference():
+    """Ring attention differentiates (ppermute has a transpose rule):
+    gradients match the unsharded oracle — sequence-parallel TRAINING."""
+    B, H, KV, T, Dh = 1, 4, 2, 64, 32
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    q = jax.random.normal(ks[0], (B, H, T, Dh), jnp.float32) * 0.4
+    k = jax.random.normal(ks[1], (B, KV, T, Dh), jnp.float32) * 0.4
+    v = jax.random.normal(ks[2], (B, KV, T, Dh), jnp.float32)
+    valid = jnp.ones((B, T), jnp.int32)
+    co = jax.random.normal(ks[3], (B, H, T, Dh), jnp.float32)
+    mesh = seq_mesh()
+
+    ring_fn = shard_map(
+        lambda q_, k_, v_, val: ring_attention(
+            q_, k_, v_, val, axis_name="seq", causal=True),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None),) * 3 + (P(None, "seq"),),
+        out_specs=P(None, None, "seq", None),
+        check_rep=False,
+    )
+
+    g_ring = jax.grad(lambda a, b, c: jnp.sum(ring_fn(a, b, c, valid) * co),
+                      argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda a, b, c: jnp.sum(
+        _reference_attention(a, b, c, valid, True) * co), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-6, err_msg=f"d{name}")

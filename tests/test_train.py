@@ -307,3 +307,42 @@ def test_vision_tower_apply_matches_forward_with_padding():
         jnp.asarray(idx["widx"]), jnp.asarray(idx["reverse"]), vcfg,
     ))
     np.testing.assert_allclose(got[:12], want, rtol=2e-5, atol=2e-6)
+
+
+def test_packed_training_matches_dense_dropless():
+    """dispatch_mode='packed' with dropless capacity: same loss and
+    gradients as dense (the pack is an exact regrouping), and a tight
+    capacity still trains finite.  Packed measured 2x over dense at
+    uniform low-k training shapes (docs/STATUS.md)."""
+    from unimoe_audio_tpu.train.step import (
+        init_train_state, make_optimizer, train_step,
+    )
+
+    cfg = tiny_test_config()
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    opt = make_optimizer(learning_rate=1e-3, total_steps=4, warmup_steps=1)
+    B, T = 2, 8
+    rng = np.random.default_rng(0)
+    codec = rng.integers(0, cfg.codec_eos_value, size=(B, T, cfg.codec_channels)).astype(np.int32)
+    batch = {
+        "input_ids": jnp.full((B, T), cfg.codec_placeholder_value, jnp.int32),
+        "codec_input_ids": jnp.asarray(codec),
+        "attention_mask": jnp.ones((B, T), jnp.int32),
+        "codec_labels": jnp.asarray(codec),
+    }
+
+    def run(mode, cap):
+        s = init_train_state(jax.tree.map(lambda x: x, params), opt)
+        s2, m = train_step(s, batch, jax.random.PRNGKey(1), cfg=cfg,
+                           optimizer=opt, dispatch_mode=mode, capacity=cap,
+                           remat=False)
+        return m
+
+    m_dense = run("dense", None)
+    m_packed = run("packed", B * T)  # dropless
+    np.testing.assert_allclose(float(m_dense["loss"]), float(m_packed["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_dense["grad_norm"]),
+                               float(m_packed["grad_norm"]), rtol=1e-4)
+    m_tight = run("packed", max(4, (B * T) // 2))
+    assert np.isfinite(float(m_tight["loss"]))

@@ -109,6 +109,7 @@ def loss_fn(
     aux_weight: jnp.ndarray,
     *,
     dispatch_mode: str = "dense",
+    capacity: Optional[int] = None,
     remat: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     inputs_embeds = batch.get("inputs_embeds")
@@ -168,6 +169,7 @@ def loss_fn(
         training=True,
         rng=rng,
         dispatch_mode=dispatch_mode,
+        capacity=capacity,
         remat=remat,
         prefix_kv=prefix,
     )
@@ -188,6 +190,7 @@ def train_step(
     cfg: UniMoEAudioConfig,
     optimizer: optax.GradientTransformation,
     dispatch_mode: str = "dense",
+    capacity: Optional[int] = None,
     remat: bool = True,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SGD step (wrap in jax.jit with donate_argnums at the call site)."""
@@ -195,7 +198,7 @@ def train_step(
     step_rng = jax.random.fold_in(rng, state.step)
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params, cfg, batch, step_rng, aux_w,
-        dispatch_mode=dispatch_mode, remat=remat,
+        dispatch_mode=dispatch_mode, capacity=capacity, remat=remat,
     )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)

@@ -36,6 +36,11 @@ class TrainerConfig:
     ckpt_dir: Optional[str] = None
     max_to_keep: int = 3
     dispatch_mode: str = "dense"
+    # Static per-expert slot count for dispatch_mode='packed' (None = S,
+    # dropless).  The packed path measured 2x over dense at uniform low-k
+    # training shapes (docs/STATUS.md); capacity semantics match the
+    # reference's token_drop/capacity_factor recipe.
+    dispatch_capacity: Optional[int] = None
     remat: bool = True
     seed: int = 0
     # Regex over param paths; non-matching params frozen (reference
@@ -96,7 +101,8 @@ class Trainer:
         self._step_fn = jax.jit(
             lambda s, b, r: train_step(
                 s, b, r, cfg=cfg, optimizer=self.optimizer,
-                dispatch_mode=tcfg.dispatch_mode, remat=tcfg.remat,
+                dispatch_mode=tcfg.dispatch_mode,
+                capacity=tcfg.dispatch_capacity, remat=tcfg.remat,
             ),
             donate_argnums=(0,),
         )
