@@ -294,3 +294,55 @@ def test_generate_unequal_voice_prompts(setup):
     res2, _ = run_generate(cfg, params, B=2, max_tokens=20,
                            prompts=[p1, p2], seed=3)
     np.testing.assert_array_equal(codes, np.asarray(res2.codes))
+
+
+def test_generate_chunked_matches_single_shot():
+    """generate_chunked (right-sized KV buffer grown across chunks) ==
+    one generate_jit call — codes and lengths identical (greedy; the
+    resumed program is the same decode body per chunk)."""
+    from unimoe_audio_tpu.generate.loop import generate_chunked
+
+    cfg = tiny_test_config()
+    params = M.init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    B, T_text, max_tokens = 2, 8, 40
+    ids = jnp.ones((2 * B, T_text), jnp.int32) * 3
+    attn = jnp.ones((2 * B, T_text), jnp.int32)
+    prefill, steps = dl.prepare_audio_prompt(
+        [None] * B, num_channels=cfg.codec_channels,
+        bos_value=cfg.codec_bos_value, delay_pattern=cfg.codec_delay_pattern)
+    buf = pad_buffer(prefill, max_tokens)
+    steps = jnp.asarray(steps, jnp.int32)
+    kw = dict(max_tokens=max_tokens, min_tokens=jnp.int32(6),
+              cfg_scale=jnp.float32(2.0), temperature=jnp.float32(1.0),
+              top_p=jnp.float32(1.0), cfg_filter_top_k=8,
+              eos_prob_mul_factor=jnp.float32(0.9), do_sample=False)
+    one = generate_jit(params, cfg, ids, attn, None, buf, steps,
+                       jax.random.PRNGKey(1), **kw)
+    chunked = generate_chunked(params, cfg, ids, attn, None, buf, steps,
+                               jax.random.PRNGKey(1), chunk_frames=16, **kw)
+    np.testing.assert_array_equal(np.asarray(one.codes), np.asarray(chunked.codes))
+    np.testing.assert_array_equal(np.asarray(one.lengths), np.asarray(chunked.lengths))
+
+
+def test_api_uses_chunked_for_long_generations(tmp_path, monkeypatch):
+    """_generate_core routes max_tokens >= 512 through generate_chunked."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_api import StubTokenizer
+    from unimoe_audio_tpu.api import UniMoEAudio
+    import unimoe_audio_tpu.generate.loop as L
+
+    cfg = tiny_test_config()
+    m = UniMoEAudio(None, allow_random=True, config=cfg,
+                    tokenizer=StubTokenizer(cfg), max_tokens=520, min_tokens=4)
+    called = {}
+    orig = L.generate_chunked
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(L, "generate_chunked", spy)
+    paths = m.text_to_music("long tune", output_dir=str(tmp_path), seed=0,
+                            do_sample=False)
+    assert called.get("yes") and len(paths) == 1

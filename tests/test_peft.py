@@ -235,3 +235,52 @@ def test_peft_train_save_generate_round_trip(tmp_path, mode, init2):
     n = min(c0.shape[0], c1.shape[0])
     # adapters must change the greedy output
     assert not np.array_equal(c0[:n], c1[:n])
+
+
+def test_prompt_tuning_trains_with_vision_batch():
+    """Regression: soft-prompt embeddings must survive the vision branch's
+    inputs_embeds rebuild — adapter grads were silently zero when a batch
+    carried pixel_values."""
+    from unimoe_audio_tpu.models.vision import vision_indices
+    from unimoe_audio_tpu.train.step import (
+        init_train_state, make_optimizer, train_step,
+    )
+
+    cfg = tiny_test_config(with_vision=True)
+    vcfg = cfg.vision_config
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    from unimoe_audio_tpu.models.vision import init_vision_params
+
+    params["vision"] = init_vision_params(jax.random.PRNGKey(2), vcfg,
+                                          dtype=jnp.float32)
+    params["peft"] = P.init_prompt_tuning(jax.random.PRNGKey(1), cfg)
+    peft_before = np.asarray(params["peft"]["prompt"]["embed"]).copy()
+
+    grid = np.array([[1, 4, 4]])
+    pd = vcfg.in_channels * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    pv = np.random.default_rng(0).normal(size=(16, pd)).astype(np.float32)
+    ids = np.full((1, 12), 7, np.int32)
+    ids[0, 2:6] = cfg.image_token_id
+    labels = ids.copy(); labels[:, :8] = -100
+    idx = vision_indices(grid, vcfg, pad_merged_to=8)
+    pv_pad = np.concatenate([pv, np.zeros((4 * 4, pd), pv.dtype)])
+    batch = {
+        "input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+        "attention_mask": jnp.ones_like(jnp.asarray(ids)),
+        "vision_patches": jnp.asarray(pv_pad),
+        "vision_pos": jnp.asarray(idx["pos"]),
+        "vision_win_ids": jnp.asarray(idx["win_ids"]),
+        "vision_sample_ids": jnp.asarray(idx["sample_ids"]),
+        "vision_widx": jnp.asarray(idx["widx"]),
+        "vision_reverse": jnp.asarray(idx["reverse"]),
+    }
+    opt = make_optimizer(learning_rate=1e-2, total_steps=4, warmup_steps=1,
+                         trainable_pattern="peft")
+    state = init_train_state(params, opt)
+    for i in range(2):  # step 0 has lr 0 (warmup)
+        state, m = train_step(state, batch, jax.random.PRNGKey(i), cfg=cfg,
+                              optimizer=opt, remat=False)
+    moved = float(np.abs(
+        np.asarray(state.params["peft"]["prompt"]["embed"]) - peft_before).max())
+    assert np.isfinite(float(m["loss"]))
+    assert moved > 0, "soft-prompt adapter got zero gradient with vision batch"

@@ -306,7 +306,18 @@ class UniMoEAudio:
                 dispatch_kw["prefill_capacity"] = -(-int(S_pre * 0.57) // 128) * 128
 
         rng = jax.random.PRNGKey(seed if seed is not None else int(time.time() * 1e3) % (2**31))
-        res = generate_jit(
+        # Long generations use the chunked-cache-growth loop: every decode
+        # step streams the full static KV buffer, so right-sizing it per
+        # chunk (generate_chunked) bounds dead cache reads; semantically
+        # identical to one generate_jit call (tested).  Short generations
+        # keep the single-executable path.
+        gen_fn = generate_jit
+        if (max_tokens >= 512 and visual_embeds is None
+                and max_tokens_vec is None and peft_prefix is None):
+            from .generate.loop import generate_chunked
+
+            gen_fn = generate_chunked
+        res = gen_fn(
             self.params, cfg,
             jnp.asarray(input_ids), jnp.asarray(attention_mask), aligned,
             buf, jnp.asarray(prefill_steps, jnp.int32), rng,

@@ -114,8 +114,16 @@ class RequestBatcher:
             reqs = [r for r, _ in batch]
             b = _bucket(len(reqs))
             padded = reqs + [reqs[-1]] * (b - len(reqs))
-            seed = next((p.get("seed") for _, p, _ in items
-                         if isinstance(p, dict) and p.get("seed") is not None), None)
+            # Sampling shares one PRNG stream per batch, so a per-request
+            # seed is only honorable when every seeded request in the
+            # window agrees; otherwise fall back to a fresh (time-based)
+            # stream rather than silently promoting one caller's seed.
+            seeds = {p.get("seed") for _, p, _ in items
+                     if isinstance(p, dict) and p.get("seed") is not None}
+            seed = seeds.pop() if len(seeds) == 1 else None
+            if seeds:
+                print("[batcher] conflicting per-request seeds in one "
+                      "window — using a fresh stream")
             try:
                 paths = self.model.generate_mixed(
                     padded, output_dir=self.output_dir,

@@ -219,14 +219,17 @@ def speculative_generate_jit(
         )
         logits = codec_logits_from_hidden(params, vout.last_hidden_state, cfg)
         # [2, d, C, Vc] → greedy target per chunk position
-        targets = jax.vmap(
+        targets_raw = jax.vmap(
             lambda i: _greedy_frame(cfg, logits[:, i], t + i, min_tokens,
                                     cfg_scale, eos_prob_mul_factor)
         )(jnp.arange(d))                                              # [d, C]
-        # Same mask-merge as the draft (and the commit): compare/commit
-        # the values that actually land in the buffer.
+        # Same mask-merge as the draft: the MERGED values are what the
+        # chunk embeds and what acceptance compares; the RAW values drive
+        # EOS detection and countdown overrides in commit() — exactly the
+        # baseline loop's order (raw EOS check → countdown override →
+        # buffer mask-merge, generate/loop.py).
         bufrows = jax.lax.dynamic_slice(s.buf, (0, t + 1, 0), (1, d, C))[0]
-        targets = jnp.where(bufrows == -1, targets, bufrows)
+        targets = jnp.where(bufrows == -1, targets_raw, bufrows)
 
         # Acceptance: longest prefix where proposal == target (frame t+i+1
         # proposed at chunk slot i+1 vs target[i]).
@@ -243,7 +246,7 @@ def speculative_generate_jit(
             step_no = t + i + 1
             take = (i <= n_acc) & jnp.logical_not(blocked) & (
                 step_no < buf.shape[1])
-            pred = targets[i]
+            pred = targets_raw[i]  # RAW: EOS detection precedes any merge
             active = eos_cd != 0
             is_eos_tok = jnp.logical_not(eos_det) & (pred[0] == eos)
             is_max_len = step_no >= (max_tokens - max_delay)
@@ -257,9 +260,12 @@ def speculative_generate_jit(
             eos_write = padding & (step_after == delay)
             pad_write = padding & (step_after > delay)
             pred2 = jnp.where(eos_write, eos, jnp.where(pad_write, pad, pred))
-            modified = jnp.any(pred2 != pred) | padding
             cur = jax.lax.dynamic_slice(buf, (0, step_no, 0), (1, 1, C))[0, 0]
             merged = jnp.where(cur == -1, pred2, cur)
+            # Block once the committed value departs from what the chunk
+            # embedded (targets[i], the pre-countdown merged value) —
+            # later chunk logits assumed that embedding.
+            modified = jnp.any(merged != targets[i]) | padding
             buf2 = jax.lax.dynamic_update_slice(
                 buf, jnp.where(take, merged, cur)[None, None], (0, step_no, 0))
             eos_cd3 = jnp.where(padding, eos_cd2 - 1, eos_cd2)

@@ -431,11 +431,13 @@ def model_forward(
     if position_ids is None:
         pos = jnp.cumsum(attention_mask, axis=-1) - 1
         pos = jnp.where(attention_mask == 0, 1, pos)
-        if prefix_kv is not None:
-            # Learned prefix KV occupy past positions [0, n) (HF PEFT
-            # past_key_values semantics): real tokens shift by n.
-            pos = pos + prefix_kv[0].shape[1]
         position_ids = jnp.broadcast_to(pos[None], (3, B, T))
+    if prefix_kv is not None:
+        # Learned prefix KV occupy past positions [0, n) (HF PEFT
+        # past_key_values semantics): real tokens shift by n — applied to
+        # EXPLICIT (mRoPE/vision) position ids too, so training matches
+        # the generation path's geometry (generate_jit shifts both).
+        position_ids = position_ids + prefix_kv[0].shape[1]
 
     abw = None
     if aux_balance_weight is not None:

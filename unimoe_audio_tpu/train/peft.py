@@ -138,5 +138,14 @@ def prepend_virtual_tokens(
                       ("codec_input_ids", 0), ("aux_balance_weight", 1)):
         if batch.get(key) is not None:
             out[key] = pre(batch[key], fill)
-    out.pop("position_ids", None)  # recompute over the extended mask
+    if batch.get("position_ids") is not None:
+        # Explicit (mRoPE/vision) positions: virtual tokens take [0, n),
+        # real tokens shift right by n — consistent with the prefix-KV
+        # convention and with positions recomputed from the extended mask.
+        pos = batch["position_ids"]                    # [3, B, T]
+        pos = jnp.asarray(pos)
+        vpos = jnp.broadcast_to(
+            jnp.arange(n)[None, None, :], pos.shape[:2] + (n,)
+        ).astype(pos.dtype)
+        out["position_ids"] = jnp.concatenate([vpos, pos + n], axis=-1)
     return out, emb

@@ -114,24 +114,6 @@ def loss_fn(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     inputs_embeds = batch.get("inputs_embeds")
     prefix = None
-    if "peft" in params:
-        # PEFT adapters (reference training_utils.py:121-163): prompt/
-        # P-tuning prepend soft tokens; prefix tuning injects per-layer KV.
-        from .peft import prefix_kv as peft_prefix_kv
-        from .peft import prepend_virtual_tokens, virtual_embeds
-
-        peft = params["peft"]
-        virt = virtual_embeds(peft)
-        if virt is not None:
-            from ..models.model import calculate_input_embedding
-
-            if inputs_embeds is None:
-                inputs_embeds = calculate_input_embedding(
-                    params, batch["input_ids"], batch.get("codec_input_ids"),
-                    cfg.codec_placeholder_value,
-                )
-            batch, inputs_embeds = prepend_virtual_tokens(batch, inputs_embeds, virt)
-        prefix = peft_prefix_kv(peft, cfg)
     if "vision_patches" in batch:
         # In-jit vision tower: runs INSIDE the differentiated step so the
         # ViT trains (the reference's set_trainable default trains every
@@ -156,6 +138,26 @@ def loss_fn(
         gathered = feats[jnp.clip(slot_order, 0, feats.shape[0] - 1)]
         gathered = gathered.reshape(emb.shape[0], emb.shape[1], -1)
         inputs_embeds = jnp.where(vmask[..., None], gathered.astype(emb.dtype), emb)
+    if "peft" in params:
+        # PEFT adapters (reference training_utils.py:121-163): prompt/
+        # P-tuning prepend soft tokens; prefix tuning injects per-layer KV.
+        # Runs AFTER the vision branch — prepending first would have its
+        # rows overwritten when vision rebuilds inputs_embeds.
+        from .peft import prefix_kv as peft_prefix_kv
+        from .peft import prepend_virtual_tokens, virtual_embeds
+
+        peft = params["peft"]
+        virt = virtual_embeds(peft)
+        if virt is not None:
+            from ..models.model import calculate_input_embedding
+
+            if inputs_embeds is None:
+                inputs_embeds = calculate_input_embedding(
+                    params, batch["input_ids"], batch.get("codec_input_ids"),
+                    cfg.codec_placeholder_value,
+                )
+            batch, inputs_embeds = prepend_virtual_tokens(batch, inputs_embeds, virt)
+        prefix = peft_prefix_kv(peft, cfg)
     out = model_forward(
         params, cfg, batch["input_ids"],
         codec_input_ids=batch.get("codec_input_ids"),
