@@ -23,3 +23,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert len(jax.devices()) >= 8, f"expected 8 virtual CPU devices, got {jax.devices()}"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound accumulated compiled-program state across the (large) suite.
+
+    With ~180 tests in one process the retained XLA executables/compile
+    caches eventually destabilize the CPU client (observed: segfault
+    during vjp tracing at ~the 170th test; every file passes in
+    isolation).  Dropping caches at module boundaries keeps intra-file
+    jit reuse while bounding native state.
+    """
+    yield
+    jax.clear_caches()
