@@ -79,7 +79,7 @@ class RequestBatcher:
     def _to_request(self, task: str, payload: Dict) -> Dict:
         req = {"task": task}
         for k, v in payload.items():
-            if k in ("seed", "save_name", "output_dir"):
+            if k in ("save_name", "output_dir"):
                 continue
             req[self._TTS_ALIASES.get(k, k)] = v
         if task == "text_to_speech":
@@ -118,8 +118,7 @@ class RequestBatcher:
             # seed is only honorable when every seeded request in the
             # window agrees; otherwise fall back to a fresh (time-based)
             # stream rather than silently promoting one caller's seed.
-            seeds = {p.get("seed") for _, p, _ in items
-                     if isinstance(p, dict) and p.get("seed") is not None}
+            seeds = {r.get("seed") for r in reqs if r.get("seed") is not None}
             seed = seeds.pop() if len(seeds) == 1 else None
             if seeds:
                 print("[batcher] conflicting per-request seeds in one "

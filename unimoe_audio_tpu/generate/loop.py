@@ -420,7 +420,6 @@ def generate_chunked(
     generations reuse a handful of compiles.  Semantically identical to a
     single generate_jit call.
     """
-    import numpy as np
 
     T_text = input_ids.shape[1]
     max_tokens = kwargs.pop("max_tokens")
