@@ -179,3 +179,23 @@ def test_batcher_interleaved_three_tasks(tmp_path):
     assert len(calls) == 1
     assert set(calls[0][:3]) == {"text_to_music", "video_text_to_music",
                                  "text_to_speech"}
+
+
+def test_per_request_seed_composition_independent(tmp_path):
+    """A seeded request's SAMPLED output is identical whether it runs alone
+    or shares a batch with other requests (per-sample seed chains)."""
+    model = _make_model(tmp_path)
+    from unimoe_audio_tpu.codec import audio_io
+
+    req = {"task": "text_to_music", "caption": "same tune", "seed": 42,
+           "max_audio_seconds": 16 / 50, "min_audio_seconds": 4 / 50}
+    other = {"task": "text_to_music", "caption": "different thing", "seed": 7,
+             "max_audio_seconds": 16 / 50, "min_audio_seconds": 4 / 50}
+
+    solo = model.generate_mixed([req], output_dir=str(tmp_path / "solo"))
+    mixed = model.generate_mixed([other, req], output_dir=str(tmp_path / "mix"))
+
+    a, _ = audio_io.read_wav(solo[0])
+    b, _ = audio_io.read_wav(mixed[1])
+    n = min(a.shape[-1], b.shape[-1])
+    np.testing.assert_allclose(a[..., :n], b[..., :n], atol=1e-6)

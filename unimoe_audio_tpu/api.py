@@ -232,6 +232,7 @@ class UniMoEAudio:
         min_tokens=None,
         max_tokens_vec: Optional[np.ndarray] = None,  # [B] per-sample budget
         decode_emit: Optional[bool] = None,
+        sample_seeds: Optional[np.ndarray] = None,    # [B] per-request seeds
     ) -> List[str]:
         """cfg_scale / temperature / top_p / eos_prob_mul_factor /
         min_tokens accept floats OR per-sample [B] arrays (heterogeneous
@@ -339,6 +340,8 @@ class UniMoEAudio:
             ),
             decode_emit=decode_emit,
             prefix_kv=peft_prefix,
+            sample_seeds=(jnp.asarray(sample_seeds, jnp.int32)
+                          if sample_seeds is not None else None),
             **dispatch_kw,
         )
 
@@ -724,6 +727,8 @@ class UniMoEAudio:
         video_feats: List = []               # per ROW: feats or None
         grids, spgts = [], []
         p_cfg, p_temp, p_topp, p_eosf, p_min, p_max = [], [], [], [], [], []
+        p_seed = []
+        base_seed = seed if seed is not None else int(time.time() * 1e3) % (2**31)
 
         for r in requests:
             task = r["task"]
@@ -738,6 +743,9 @@ class UniMoEAudio:
             p_eosf.append(float(r.get("eos_prob_mul_factor", d["eos_prob_mul_factor"])))
             p_min.append(mn)
             p_max.append(mt)
+            # Per-request sampling seed: honored independently of batch
+            # composition (generate_jit per-sample seed chains).
+            p_seed.append(int(r.get("seed", base_seed + len(p_seed))))
 
             if task == "text_to_music":
                 c = r["caption"]
@@ -839,6 +847,7 @@ class UniMoEAudio:
             prefill_position_ids=position_ids, rope_deltas=deltas,
             max_tokens=max(p_max), min_tokens=np.asarray(p_min, np.int32),
             max_tokens_vec=np.asarray(p_max, np.int32),
+            sample_seeds=np.asarray(p_seed, np.int32),
         )
 
 

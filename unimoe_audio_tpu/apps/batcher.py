@@ -114,19 +114,14 @@ class RequestBatcher:
             reqs = [r for r, _ in batch]
             b = _bucket(len(reqs))
             padded = reqs + [reqs[-1]] * (b - len(reqs))
-            # Sampling shares one PRNG stream per batch, so a per-request
-            # seed is only honorable when every seeded request in the
-            # window agrees; otherwise fall back to a fresh (time-based)
-            # stream rather than silently promoting one caller's seed.
-            seeds = {r.get("seed") for r in reqs if r.get("seed") is not None}
-            seed = seeds.pop() if len(seeds) == 1 else None
-            if seeds:
-                print("[batcher] conflicting per-request seeds in one "
-                      "window — using a fresh stream")
+            # Per-request "seed" keys are honored INDEPENDENTLY: each
+            # request samples from its own fold_in(PRNGKey(seed), step,
+            # channel) chain, so its output doesn't depend on which other
+            # requests share the batch (generate_jit sample_seeds).
             try:
                 paths = self.model.generate_mixed(
                     padded, output_dir=self.output_dir,
-                    save_name=f"batch_{int(time.time() * 1e3)}", seed=seed,
+                    save_name=f"batch_{int(time.time() * 1e3)}",
                 )
                 assert len(paths) >= len(batch), "batch result misaligned"
                 for i, (_, fut) in enumerate(batch):

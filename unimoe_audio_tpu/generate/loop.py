@@ -91,6 +91,11 @@ def generate_jit(
     cfg_filter_top_k: int,
     eos_prob_mul_factor: jnp.ndarray,  # scalar or [B] f32
     max_tokens_vec: Optional[jnp.ndarray] = None,  # [B] per-sample budget
+    # Per-sample sampling seeds [B]: each stream draws from its own
+    # fold_in(PRNGKey(seed), step, channel) chain, so a request's sampled
+    # output is reproducible regardless of which other requests share the
+    # batch (dense dispatch; packed capacity drops can still couple rows).
+    sample_seeds: Optional[jnp.ndarray] = None,
     do_sample: bool = True,
     dispatch_mode: str = "dense",
     decode_dispatch_mode: Optional[str] = None,  # None = dispatch_mode
@@ -139,6 +144,10 @@ def generate_jit(
         per_sample(max_tokens_vec, jnp.int32) if max_tokens_vec is not None
         else jnp.full((B,), max_tokens, jnp.int32)
     )
+    seed_keys = (
+        jax.vmap(jax.random.PRNGKey)(per_sample(sample_seeds, jnp.int32))
+        if sample_seeds is not None else None
+    )  # [B, 2]
 
     # ---------------- prefill (skipped when resuming a chunked decode) ----
     if resume_state is None:
@@ -272,6 +281,14 @@ def generate_jit(
         )
 
         rng, sample_key = jax.random.split(s.rng)
+        if seed_keys is not None:
+            # Per-(stream, step, channel) keys: composition-independent.
+            step_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, current_step))(seed_keys)
+            sample_key = jax.vmap(
+                lambda k: jax.vmap(lambda c: jax.random.fold_in(k, c))(
+                    jnp.arange(C))
+            )(step_keys).reshape(B * C, 2)
         flat = logits_B.reshape(B * C, Vc)
         if do_sample:
             pred = sample_next_token(

@@ -31,7 +31,17 @@ def sample_next_token(
     temperature==0 (the reference's early-exit branch).
 
     temperature/top_p may be scalars or per-row [N] vectors (heterogeneous
-    serving batches mix tasks with different sampling knobs)."""
+    serving batches mix tasks with different sampling knobs).
+
+    rng may be ONE key (one stream for the whole batch) or PER-ROW keys
+    [N, 2] — per-row keys make each row's draw independent of the other
+    rows' presence (per-request determinism in shared serving batches)."""
+    per_row = rng.ndim == 2
+
+    def draw(key, row_logits):
+        if per_row:
+            return jax.vmap(jax.random.categorical)(key, row_logits)
+        return jax.random.categorical(key, row_logits, axis=-1)
     temperature = jnp.asarray(temperature, jnp.float32)
     top_p = jnp.asarray(top_p, jnp.float32)
     if temperature.ndim == 1:
@@ -63,7 +73,7 @@ def sample_next_token(
         keep = jnp.roll(csum <= top_p, 1, axis=-1).at[:, 0].set(True)
         keep = keep | (top_p >= 1.0)
         sub_logits = jnp.where(keep, top_vals, NEG_INF)
-        choice = jax.random.categorical(rng, sub_logits, axis=-1)  # [N] in [0,k)
+        choice = draw(rng, sub_logits)  # [N] in [0,k)
         return jnp.take_along_axis(top_ids, choice[:, None], axis=-1)[:, 0]
 
     # No top-k: nucleus over the full vocabulary.
@@ -80,4 +90,4 @@ def sample_next_token(
     )
     logits = jnp.where(keep, logits, NEG_INF)
 
-    return jax.random.categorical(rng, logits, axis=-1)
+    return draw(rng, logits)
