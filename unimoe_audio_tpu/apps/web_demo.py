@@ -286,9 +286,13 @@ def main():
     parser.add_argument("--model", default=None)
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--allow-random", action="store_true")
+    parser.add_argument("--serving-mode", action="store_true",
+                        help="int8 + lane-padded FFNs + capacity-packed "
+                             "dispatch (the tuned bench stack)")
     args = parser.parse_args()
 
-    model = UniMoEAudio(args.model, allow_random=args.allow_random)
+    model = UniMoEAudio(args.model, allow_random=args.allow_random,
+                        serving_mode=args.serving_mode)
     try:
         import gradio  # noqa: F401
 
