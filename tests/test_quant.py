@@ -152,3 +152,26 @@ def test_pad_expert_ffn_after_quantize_exact():
         np.asarray(out_a.hidden_states), np.asarray(out_b.hidden_states),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_quantize_vision_params_near_lossless():
+    """Int8 vision tower: features close to the bf16 tower; serving_mode
+    with a vision model still runs VT2M."""
+    import jax
+    from unimoe_audio_tpu.config import tiny_test_config
+    from unimoe_audio_tpu.models.vision import init_vision_params, vision_forward
+    from unimoe_audio_tpu.ops.quant import QTensor, quantize_vision_params
+
+    cfg = tiny_test_config(with_vision=True)
+    vcfg = cfg.vision_config
+    params = init_vision_params(jax.random.PRNGKey(0), vcfg, dtype=jnp.float32)
+    qparams = quantize_vision_params(params)
+    assert isinstance(qparams["blocks"][0]["qkv"]["w"], QTensor)
+    grid = np.array([[1, 4, 4]])
+    pd = vcfg.in_channels * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    pv = jnp.asarray(np.random.default_rng(0).normal(size=(16, pd)), jnp.float32)
+    want = np.asarray(vision_forward(params, pv, grid, vcfg))
+    got = np.asarray(vision_forward(qparams, pv, grid, vcfg))
+    # int8 per-channel weight-only: small relative error on features
+    denom = np.maximum(np.abs(want), 1e-2)
+    assert np.median(np.abs(got - want) / denom) < 0.1

@@ -84,10 +84,16 @@ class UniMoEAudio:
         )
         self.serving_mode = serving_mode
         if serving_mode:
-            from .ops.quant import pad_expert_ffn, quantize_model_params_inplace
+            from .ops.quant import (
+                pad_expert_ffn, quantize_model_params_inplace,
+                quantize_vision_params,
+            )
 
             self.params = quantize_model_params_inplace(self.params)
             self.params = pad_expert_ffn(self.params)
+            if "vision" in self.params:
+                self.params["vision"] = quantize_vision_params(
+                    self.params["vision"])
         self.tokenizer = tokenizer or self._load_tokenizer(model_path)
         if self.tokenizer is None and allow_random:
             # Self-contained dev mode: hash-vocab tokenizer with the special

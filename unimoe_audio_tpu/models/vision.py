@@ -116,13 +116,17 @@ def _rotate_half(x):
 
 def vision_block(p: Dict, x: jnp.ndarray, cos, sin, attn_mask: jnp.ndarray,
                  cfg: VisionConfig) -> jnp.ndarray:
-    """One ViT block: RMSNorm → windowed/full attention → RMSNorm → SwiGLU."""
+    """One ViT block: RMSNorm → windowed/full attention → RMSNorm → SwiGLU.
+    Projections go through ops.quant.matmul so int8 serving weights
+    (QTensor) work transparently."""
+    from ..ops.quant import matmul as qmm
+
     S, D = x.shape
     H = cfg.num_heads
     Dh = D // H
 
     h = rms_norm(x[None], p["norm1"])[0]
-    qkv = h @ p["qkv"]["w"] + p["qkv"]["b"]  # [S, 3D]
+    qkv = qmm(h, p["qkv"]["w"]) + p["qkv"]["b"]  # [S, 3D]
     q, k, v = jnp.split(qkv.reshape(S, 3, H, Dh), 3, axis=1)
     q, k, v = q[:, 0], k[:, 0], v[:, 0]  # [S, H, Dh]
     cos_ = cos[:, None, :].astype(q.dtype)
@@ -134,12 +138,12 @@ def vision_block(p: Dict, x: jnp.ndarray, cos, sin, attn_mask: jnp.ndarray,
     scores = jnp.where(attn_mask[None], scores, jnp.float32(-1e30))
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     out = jnp.einsum("hst,thd->shd", probs, v).reshape(S, D)
-    x = x + out @ p["proj"]["w"] + p["proj"]["b"]
+    x = x + qmm(out, p["proj"]["w"]) + p["proj"]["b"]
 
     h = rms_norm(x[None], p["norm2"])[0]
-    g = h @ p["mlp"]["gate"]["w"] + p["mlp"]["gate"]["b"]
-    u = h @ p["mlp"]["up"]["w"] + p["mlp"]["up"]["b"]
-    x = x + (jax.nn.silu(g) * u) @ p["mlp"]["down"]["w"] + p["mlp"]["down"]["b"]
+    g = qmm(h, p["mlp"]["gate"]["w"]) + p["mlp"]["gate"]["b"]
+    u = qmm(h, p["mlp"]["up"]["w"]) + p["mlp"]["up"]["b"]
+    x = x + qmm(jax.nn.silu(g) * u, p["mlp"]["down"]["w"]) + p["mlp"]["down"]["b"]
     return x
 
 
@@ -216,7 +220,12 @@ def vision_tower_apply(
     win_mask = win_ids[:, None] == win_ids[None, :]
     full_mask = sample_ids[:, None] == sample_ids[None, :]
 
-    x = patches.astype(params["patch_embed"].dtype) @ params["patch_embed"]
+    from ..ops.quant import QTensor
+    from ..ops.quant import matmul as qmm
+
+    pe = params["patch_embed"]
+    in_dtype = pe.q.dtype if isinstance(pe, QTensor) else pe.dtype
+    x = qmm(patches.astype(jnp.bfloat16 if in_dtype == jnp.int8 else in_dtype), pe)
     x = x.reshape(S // m2, m2, -1)[widx].reshape(S, -1)
 
     for i, blk in enumerate(params["blocks"]):
@@ -225,11 +234,13 @@ def vision_tower_apply(
 
     # Merger: RMSNorm → concat m2 patches → MLP (reference
     # Qwen2_5_VLPatchMerger).
+    from ..ops.quant import matmul as _qmm
+
     h = rms_norm(x[None], params["merger"]["ln_q"])[0]
     h = h.reshape(S // m2, -1)
-    h = h @ params["merger"]["fc1"]["w"] + params["merger"]["fc1"]["b"]
+    h = _qmm(h, params["merger"]["fc1"]["w"]) + params["merger"]["fc1"]["b"]
     h = jax.nn.gelu(h, approximate=False)
-    h = h @ params["merger"]["fc2"]["w"] + params["merger"]["fc2"]["b"]
+    h = _qmm(h, params["merger"]["fc2"]["w"]) + params["merger"]["fc2"]["b"]
     return h[reverse]
 
 

@@ -86,6 +86,34 @@ _QUANT_PATHS = (
 )
 
 
+def quantize_vision_params(vision: Dict) -> Dict:
+    """Int8 weight-only quantization of the vision tower (0.67B params at
+    flagship scale — serves VT2M prefill bandwidth and HBM headroom).
+    Norms and biases stay full precision; vision_block's projections go
+    through ops.quant.matmul so QTensor weights apply transparently."""
+
+    def q(proj):
+        return {**proj, "w": quantize_tensor(proj["w"])}
+
+    out = dict(vision)
+    out["patch_embed"] = quantize_tensor(vision["patch_embed"])
+    out["blocks"] = [
+        {
+            **blk,
+            "qkv": q(blk["qkv"]),
+            "proj": q(blk["proj"]),
+            "mlp": {k: q(v) for k, v in blk["mlp"].items()},
+        }
+        for blk in vision["blocks"]
+    ]
+    out["merger"] = {
+        **vision["merger"],
+        "fc1": q(vision["merger"]["fc1"]),
+        "fc2": q(vision["merger"]["fc2"]),
+    }
+    return out
+
+
 def pad_expert_ffn(params: Dict, multiple: int = 128) -> Dict:
     """Zero-pad expert FFN intermediate dims up to a lane multiple
     (serving-only; apply BEFORE quantization).
