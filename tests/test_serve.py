@@ -61,3 +61,25 @@ def test_mesh_served_quantized_generation(tmp_path):
     assert "model" not in str(dyn.s.sharding.spec).split(",")[2]
     paths = model.text_to_music("quantized served", output_dir=str(tmp_path), seed=0)
     assert len(paths) == 1
+
+
+def test_mesh_served_packed_dispatch_batch(tmp_path):
+    """Capacity-packed dispatch (serving_mode auto-engages at >= 32
+    streams) under an ep x tp sharded int8 mesh: the one-hot dispatch /
+    combine einsums shard via GSPMD and the batch serves end-to-end."""
+    cfg = tiny_test_config(
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=2,
+        mlp_dynamic_expert_num=4, dynamic_intermediate_size=64,
+        shared_intermediate_size=32,
+    )
+    model = build_server(
+        None, ep_size=2, tp_size=2, allow_random=True, quantize=True,
+        tokenizer=StubTokenizer(cfg), config=cfg, max_tokens=12, min_tokens=4,
+    )
+    assert model.serving_mode
+    # 36 streams -> 72 CFG rows: decode_dispatch_mode='packed' engages.
+    paths = model.text_to_music(["tune %d" % i for i in range(36)],
+                                output_dir=str(tmp_path), seed=0)
+    assert len(paths) == 36
+    audio, _ = audio_io.read_wav(paths[0])
+    assert np.isfinite(audio).all()
