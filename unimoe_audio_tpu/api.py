@@ -136,7 +136,7 @@ class UniMoEAudio:
                     params = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), params)
                     return cfg, params
                 if allow_random:
-                    return cfg, init_model_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+                    return cfg, self._jit_init(cfg, dtype, with_vision=False)
             raise FileNotFoundError(
                 f"No model weights found under {model_path} (looked for "
                 "model.jax.pkl / *.safetensors)."
@@ -144,9 +144,20 @@ class UniMoEAudio:
         if not allow_random:
             raise ValueError("model_path is required unless allow_random=True")
         cfg = config or tiny_test_config()
-        return cfg, init_model_params(
-            jax.random.PRNGKey(0), cfg, dtype=dtype, with_vision=True
-        )
+        return cfg, self._jit_init(cfg, dtype, with_vision=True)
+
+    @staticmethod
+    def _jit_init(cfg, dtype, *, with_vision):
+        """Jitted random init: eager init materializes fp32 intermediates
+        per leaf and fragments the 16 GB HBM at flagship scale (the same
+        trap bench.py / __graft_entry__ guard against)."""
+        import functools
+
+        init = jax.jit(functools.partial(
+            init_model_params, cfg=cfg, dtype=dtype, with_vision=with_vision))
+        params = init(jax.random.PRNGKey(0))
+        jax.block_until_ready(params)
+        return params
 
     @staticmethod
     def _load_tokenizer(model_path):
@@ -357,17 +368,24 @@ class UniMoEAudio:
         )
 
         os.makedirs(output_dir, exist_ok=True)
-        output_paths = []
-        for i, frames in enumerate(audios):
-            output_path = os.path.join(output_dir, f"generated_{save_name}_{i}.wav")
-            if self.dac is not None:
-                self.dac.decode(frames.T[None], save_path=output_path, min_duration=1)
-            else:
-                np.save(output_path + ".codes.npy", frames)
-                output_path += ".codes.npy"
-            output_paths.append(output_path)
-            if rebuild_codec is not None and self.dac is not None:
-                rebuild = np.asarray(rebuild_codec).T[None]
+        output_paths = [
+            os.path.join(output_dir, f"generated_{save_name}_{i}.wav")
+            for i in range(len(audios))
+        ]
+        if self.dac is not None:
+            # ONE batched decoder forward for all streams (sequential
+            # per-stream decodes cost more than the AR decode at B≈88).
+            self.dac.decode_batch(
+                [frames.T for frames in audios], output_paths, min_duration=1)
+        else:
+            output_paths = []
+            for i, frames in enumerate(audios):
+                p = os.path.join(output_dir, f"generated_{save_name}_{i}.wav.codes.npy")
+                np.save(p, frames)
+                output_paths.append(p)
+        if rebuild_codec is not None and self.dac is not None:
+            rebuild = np.asarray(rebuild_codec).T[None]
+            for i in range(len(audios)):
                 rebuild_path = os.path.join(output_dir, f"rebuild_{save_name}_{i}.wav")
                 self.dac.decode(rebuild, save_path=rebuild_path)
         return output_paths
