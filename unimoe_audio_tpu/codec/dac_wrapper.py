@@ -56,6 +56,10 @@ class Dac:
     def _resolve_weights(explicit: Optional[str]) -> Optional[str]:
         candidates = []
         if explicit:
+            if not os.path.isfile(explicit):
+                # An explicitly named path must not silently fall through
+                # to env/default/random weights (garbage audio, no error).
+                raise FileNotFoundError(f"DAC weights not found: {explicit}")
             candidates.append(explicit)
         env = os.environ.get("DAC_WEIGHTS")
         if env:

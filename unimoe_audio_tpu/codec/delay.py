@@ -119,7 +119,9 @@ def generate_output(
     """
     max_delay = max(delay_pattern)
     codebook = revert_audio_delay(generated_codes, pad_value=pad_value, delay_pattern=delay_pattern)
-    codebook = codebook[:, :-max_delay, :]
+    # NB: `:-0` would be an empty slice — guard the max_delay == 0 case
+    # (all-zero delay patterns, e.g. single-channel dev configs).
+    codebook = codebook[:, : codebook.shape[1] - max_delay, :]
     codebook = np.asarray(codebook)
     lengths = np.asarray(lengths_Bx)
     return [codebook[i, : int(lengths[i]), :] for i in range(codebook.shape[0])]

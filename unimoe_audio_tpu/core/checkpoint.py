@@ -38,6 +38,19 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any, *,
 
         with open(os.path.join(ckpt_dir, f"meta_{step}.json"), "w") as f:
             json.dump(metadata, f, indent=2, default=str)
+    # Prune meta sidecars whose step directories max_to_keep just GC'd —
+    # otherwise stale metadata accumulates and can be paired with a
+    # deleted step by a reader.
+    import re as _re
+
+    live = set(mgr.all_steps())
+    for fname in os.listdir(ckpt_dir):
+        m = _re.fullmatch(r"meta_(\d+)\.json", fname)
+        if m and int(m.group(1)) not in live:
+            try:
+                os.remove(os.path.join(ckpt_dir, fname))
+            except OSError:
+                pass
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:

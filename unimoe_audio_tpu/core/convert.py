@@ -193,9 +193,6 @@ def convert_model_state_dict(sd: Dict[str, Any], cfg) -> Dict:
         t = _np(sd[name])
         return t.T if transpose else t
 
-    def maybe(name, transpose=False):
-        return get(name, transpose) if name in sd else None
-
     def layer_stack(fmt, transpose=False):
         return np.stack([get(fmt.format(l=l), transpose) for l in range(L)])
 
@@ -209,6 +206,10 @@ def convert_model_state_dict(sd: Dict[str, Any], cfg) -> Dict:
             p["b"] = np.stack([
                 get(f"language_model.layers.{l}.self_attn.{which}.bias") for l in range(L)
             ])
+        elif which != "o_proj":
+            # Bias-free sources: the forward and exporter index ['b']
+            # unconditionally (Qwen2.5 layout) — zero-fill like init does.
+            p["b"] = np.zeros((L, w.shape[-1]), dtype=w.dtype)
         return p
 
     def expert_stack(container_fmt, n, proj):
@@ -344,5 +345,9 @@ def convert_model_weights(model_dir: str, out_path: str, dtype="bfloat16") -> No
     sd = load_hf_safetensors(model_dir)
     params = convert_model_state_dict(sd, cfg)
     params = jax.tree.map(lambda a: np.asarray(a, dtype=dtype), params)
+    # The router gate stays fp32 (design invariant: init, surgery, and the
+    # quantizer all preserve it) — re-upcast after the blanket cast.
+    params["layers"]["moe"]["gate"] = np.asarray(
+        params["layers"]["moe"]["gate"], dtype=np.float32)
     with open(out_path, "wb") as f:
         pickle.dump({"params": params, "config": cfg.to_dict()}, f)

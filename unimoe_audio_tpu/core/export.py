@@ -65,6 +65,9 @@ def export_hf_checkpoint(params: Dict, cfg, out_dir: str, *, dtype="float32") ->
 
     os.makedirs(out_dir, exist_ok=True)
     sd = model_params_to_state_dict(params, cfg)
-    sd = {k: v.astype(dtype) for k, v in sd.items()}
+    # copy=False: model_params_to_state_dict already materialized
+    # contiguous copies; re-copying all of it is ~26 GB transient at
+    # flagship scale when the dtype already matches.
+    sd = {k: v.astype(dtype, copy=False) for k, v in sd.items()}
     save_file(sd, os.path.join(out_dir, "model.safetensors"))
     cfg.save_json(os.path.join(out_dir, "config.json"))

@@ -33,11 +33,19 @@ def aggregate_deepspeed_moe_checkpoint(ckpt_dir: str) -> Dict[str, np.ndarray]:
     """
     import torch
 
+    def to_np(v):
+        # Preserve integer/bool dtypes (step counters, masks); only bf16
+        # needs the float() detour (numpy lacks torch bf16 interop).
+        if not hasattr(v, "numpy"):
+            return np.asarray(v)
+        if v.dtype.is_floating_point:
+            return np.asarray(v.float().numpy())
+        return np.asarray(v.numpy())
+
     base = os.path.join(ckpt_dir, "mp_rank_00_model_states.pt")
     blob = torch.load(base, map_location="cpu", weights_only=False)
     sd = blob.get("module", blob)
-    merged = {k: np.asarray(v.float().numpy() if hasattr(v, "numpy") else v)
-              for k, v in sd.items()}
+    merged = {k: to_np(v) for k, v in sd.items()}
 
     pat = re.compile(r"layer_(\d+)_expert_(\d+)_mp_rank_00_model_states\.pt")
     for fname in sorted(os.listdir(ckpt_dir)):
@@ -48,10 +56,21 @@ def aggregate_deepspeed_moe_checkpoint(ckpt_dir: str) -> Dict[str, np.ndarray]:
         shard = torch.load(os.path.join(ckpt_dir, fname), map_location="cpu",
                            weights_only=False)
         for k, v in shard.items():
+            # Reference shard-consistency asserts
+            # (deepspeed_ep_param_aggregation.py:35-41): the in-key layer
+            # must match the filename and the renamed key must be fresh —
+            # otherwise a malformed shard silently overwrites an expert.
+            km = re.search(r"\.(\d+)\.deepspeed_moe\.", k)
+            if km is not None:
+                assert int(km.group(1)) == layer, (
+                    f"{fname}: key layer {km.group(1)} != file layer {layer}")
             nk = re.sub(
                 r"deepspeed_experts\.(\d+)\.", f"deepspeed_experts.{global_e}.", k
             )
-            merged[nk] = np.asarray(v.float().numpy())
+            assert nk not in merged, (
+                f"{fname}: duplicate target key {nk} — shard holds more "
+                "than one local expert or repeats a global id")
+            merged[nk] = to_np(v)
     return merged
 
 

@@ -93,7 +93,7 @@ def moeify_dense_params(
         rng = jax.random.PRNGKey(0)
     L = cfg.num_hidden_layers
     D = cfg.hidden_size
-    dense_mlp = dense_params["layers"].pop("mlp")
+    dense_mlp = dense_params["layers"]["mlp"]
 
     moe_layers = {"gate": [], "dynamic": [], "fixed": []}
     keys = jax.random.split(rng, L + 1)
@@ -117,7 +117,10 @@ def moeify_dense_params(
         "fixed": jax.tree.map(lambda *xs: np.stack(xs), *moe_layers["fixed"]),
     }
     out = dict(dense_params)
-    out["layers"] = dict(dense_params["layers"])
+    # Pure-function contract: shallow-copy containers; never mutate the
+    # caller's pytree (the previous .pop('mlp') destroyed the input).
+    out["layers"] = {k: v for k, v in dense_params["layers"].items()
+                     if k != "mlp"}
     out["layers"]["moe"] = stacked_moe
     out = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), out)
     # The router gate stays fp32 (fp32_gate contract, init_dcmoe_params).
