@@ -83,3 +83,52 @@ def test_mesh_served_packed_dispatch_batch(tmp_path):
     assert len(paths) == 36
     audio, _ = audio_io.read_wav(paths[0])
     assert np.isfinite(audio).all()
+
+
+def test_serve_cli_full_task_surface(tmp_path, monkeypatch, capsys):
+    """serve.py main() routes TTS and the --requests batcher path (the
+    reference EP inference scripts are task-agnostic); a malformed request
+    in the batch fails alone without sinking the others."""
+    import json
+    import sys
+
+    import unimoe_audio_tpu.apps.serve as serve_mod
+
+    cfg = tiny_test_config()
+    model = build_server(
+        None, allow_random=True, tokenizer=StubTokenizer(cfg), config=cfg,
+        max_tokens=16, min_tokens=4,
+    )
+    monkeypatch.setattr(serve_mod, "build_server", lambda *a, **k: model)
+
+    # voice prompt for TTS
+    sr = model.dac.config.sample_rate
+    t = np.linspace(0, 0.3, int(sr * 0.3), dtype=np.float32)
+    ref = str(tmp_path / "ref.wav")
+    audio_io.write_wav(ref, 0.3 * np.sin(2 * np.pi * 220 * t)[None], sr)
+
+    monkeypatch.setattr(sys, "argv", [
+        "serve", "--task", "text_to_speech", "--input", "hello world",
+        "--prompt-text", "ref text", "--prompt-wav", ref,
+        "--output", str(tmp_path / "tts"),
+    ])
+    assert serve_mod.main() == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["outputs"] and out["outputs"][0].endswith(".wav")
+
+    # --requests: heterogeneous batch; row 1 malformed (empty caption)
+    reqs = [
+        {"task": "text_to_music", "caption": "calm tune",
+         "max_audio_seconds": 16 / 50, "min_audio_seconds": 4 / 50},
+        {"task": "text_to_music", "caption": "   "},
+    ]
+    rf = str(tmp_path / "reqs.json")
+    json.dump(reqs, open(rf, "w"))
+    monkeypatch.setattr(sys, "argv", [
+        "serve", "--requests", rf, "--output", str(tmp_path / "srv"),
+    ])
+    assert serve_mod.main() == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["outputs"][0] and out["outputs"][0].endswith(".wav")
+    assert out["outputs"][1] is None
+    assert out["errors"] and out["errors"][0]["index"] == 1

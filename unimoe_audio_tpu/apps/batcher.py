@@ -82,10 +82,26 @@ class RequestBatcher:
             if k in ("save_name", "output_dir"):
                 continue
             req[self._TTS_ALIASES.get(k, k)] = v
+        # Validate per-task required keys HERE so one malformed request
+        # fails its own Future instead of raising inside the coalesced
+        # generate_mixed call and sinking every co-batched caller.
+        if task not in ("text_to_music", "text_to_speech", "video_text_to_music"):
+            raise ValueError(f"unknown task {task!r}")
+        if not str(req.get("caption", "")).strip():
+            raise ValueError("empty caption")
         if task == "text_to_speech":
+            if not str(req.get("prompt_text", "")).strip():
+                raise ValueError("text_to_speech requires prompt_text/"
+                                 "prompt_transcription")
+            if req.get("prompt_wav") is None and req.get("prompt_codec") is None:
+                raise ValueError("text_to_speech requires prompt_wav or prompt_codec")
+            if req.get("prompt_wav") is not None and self.model.dac is None:
+                raise ValueError("prompt_wav given but no DAC codec is loaded")
             # Reference TTS clamps 2-10 s (examples/inference_framework.py:166-167).
             req["max_audio_seconds"] = min(float(req.get("max_audio_seconds", 10)), 10)
             req["min_audio_seconds"] = max(float(req.get("min_audio_seconds", 2)), 2)
+        if task == "video_text_to_music" and req.get("video") is None:
+            raise ValueError("video_text_to_music requires video")
         return req
 
     def _run(self):
@@ -97,14 +113,6 @@ class RequestBatcher:
             batch = []   # (request_dict, fut)
             for t, p, fut in items:
                 try:
-                    if t in ("text_to_music", "video_text_to_music") and not str(
-                        p.get("caption", "")
-                    ).strip():
-                        raise ValueError("empty caption")
-                    if t == "text_to_speech" and not str(
-                        p.get("caption", p.get("transcription", ""))
-                    ).strip():
-                        raise ValueError("empty target text")
                     batch.append((self._to_request(t, p), fut))
                 except Exception as e:  # noqa: BLE001
                     fut.set_exception(e)
@@ -113,11 +121,28 @@ class RequestBatcher:
 
             reqs = [r for r, _ in batch]
             b = _bucket(len(reqs))
-            padded = reqs + [reqs[-1]] * (b - len(reqs))
-            # Per-request "seed" keys are honored INDEPENDENTLY: each
-            # request samples from its own fold_in(PRNGKey(seed), step,
-            # channel) chain, so its output doesn't depend on which other
-            # requests share the batch (generate_jit sample_seeds).
+            # Pad with a minimal canned T2M request (NOT a copy of an
+            # arbitrary caller request: padding with a VT2M request would
+            # re-run frame extraction + a vision-tower forward per pad row).
+            # The pad's length budget is the smallest real budget so it
+            # never raises the batch's decode horizon (max over p_max).
+            default_s = self.model.MAX_TOKENS / 50
+            pad_s = min(float(r.get("max_audio_seconds", default_s)) for r in reqs)
+            pad_req = {"task": "text_to_music", "caption": "music",
+                       "max_audio_seconds": pad_s,
+                       "min_audio_seconds": min(
+                           pad_s,
+                           min(float(r.get("min_audio_seconds",
+                                           self.model.MIN_TOKENS / 50))
+                               for r in reqs))}
+            padded = reqs + [pad_req] * (b - len(reqs))
+            # Per-request "seed" keys are honored via independent
+            # fold_in(PRNGKey(seed), step, channel) chains (generate_jit
+            # sample_seeds), so the RANDOM DRAWS don't depend on
+            # co-batched requests.  Under serving_mode's capacity-packed
+            # dispatch, capacity drops can still couple rows (loop.py
+            # caveat) — bit-exact per-request reproducibility holds for
+            # the dense-dispatch path.
             try:
                 paths = self.model.generate_mixed(
                     padded, output_dir=self.output_dir,
@@ -128,6 +153,23 @@ class RequestBatcher:
                     if not fut.done():
                         fut.set_result(paths[i])
             except Exception as e:  # noqa: BLE001
-                for _, fut in batch:
-                    if not fut.done():
-                        fut.set_exception(e)
+                # One bad/failing request must not sink unrelated callers:
+                # fall back to running each request individually.
+                self._run_individually(batch, e)
+
+    def _run_individually(self, batch, batch_exc):
+        """Retry each request alone after a coalesced-batch failure so a
+        single poisoned request only fails its own Future."""
+        print(f"[batcher] coalesced batch failed ({batch_exc!r}); "
+              f"retrying {len(batch)} request(s) individually")
+        for i, (req, fut) in enumerate(batch):
+            if fut.done():
+                continue
+            try:
+                paths = self.model.generate_mixed(
+                    [req], output_dir=self.output_dir,
+                    save_name=f"retry_{int(time.time() * 1e3)}_{i}",
+                )
+                fut.set_result(paths[0])
+            except Exception as e:  # noqa: BLE001
+                fut.set_exception(e)

@@ -57,23 +57,47 @@ def build_server(model_path: Optional[str], *, ep_size: int = 1, tp_size: int = 
 
 
 def measure_ttfa(model, *, n_trials: int = 5, text: str = "A peaceful piano melody"):
-    """p50/p90 time-to-first-audio: prefill + one decode step + codec decode
-    of the first emitted frame (BASELINE.json's second headline metric)."""
-    import numpy as np
+    """p50/p90 time-to-first-audio: prefill + decode halted at the first
+    emitted frame (generate_jit stop_at), matching bench.py's method —
+    BASELINE.json's second headline metric.  No model state is mutated and
+    nothing is written to disk."""
+    import jax
+    import jax.numpy as jnp
 
+    from unimoe_audio_tpu.api import AUDIO_START, INPUT_FORMAT, SYSTEM_MESSAGE
+    from unimoe_audio_tpu.codec import delay as dl
+    from unimoe_audio_tpu.generate.loop import generate_jit, pad_buffer
+
+    cfg = model.config
+    neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+        "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
+    pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+        "<|MUSIC_START|>" + text + "<|MUSIC_END|>") + AUDIO_START
+    ids, mask = model._tokenize([neg, pos])
+    prefill, steps = dl.prepare_audio_prompt(
+        [None], num_channels=cfg.codec_channels,
+        bos_value=cfg.codec_bos_value, delay_pattern=cfg.codec_delay_pattern,
+    )
+    mt = max(cfg.max_delay + 2, 24)
+    buf = pad_buffer(prefill, mt)
+    steps = jnp.asarray(steps, jnp.int32)
+    stop = jnp.int32(int(steps[0]))  # halt right after the first frame
+    kw = dict(
+        max_tokens=mt, min_tokens=jnp.int32(mt),
+        cfg_scale=jnp.float32(10.0), temperature=jnp.float32(1.0),
+        top_p=jnp.float32(1.0), cfg_filter_top_k=45,
+        eos_prob_mul_factor=jnp.float32(0.6), do_sample=True,
+    )
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
     # First call compiles; excluded from stats.
     lat: List[float] = []
     for i in range(n_trials + 1):
         t0 = time.time()
-        saved_max, saved_min = model.MAX_TOKENS, model.MIN_TOKENS
-        model.MAX_TOKENS, model.MIN_TOKENS = max(model.config.max_delay + 2, 20), 1
-        try:
-            paths = model.text_to_music(text, output_dir="/tmp/ttfa", seed=i)
-        finally:
-            model.MAX_TOKENS, model.MIN_TOKENS = saved_max, saved_min
-        dt = time.time() - t0
+        r = generate_jit(model.params, cfg, ids, mask, None, buf, steps,
+                         jax.random.PRNGKey(i), stop_at=stop, **kw)
+        jax.block_until_ready(r.codes)
         if i > 0:
-            lat.append(dt)
+            lat.append(time.time() - t0)
     lat.sort()
     return {
         "p50_ttfa_s": lat[len(lat) // 2],
@@ -92,8 +116,20 @@ def main():
     parser.add_argument("--tp-size", type=int, default=1)
     parser.add_argument("--quantize", action="store_true", help="int8 serving path")
     parser.add_argument("--allow-random", action="store_true")
-    parser.add_argument("--task", default="text_to_music")
-    parser.add_argument("--input", default="A peaceful piano melody")
+    parser.add_argument("--task", default="text_to_music",
+                        choices=["text_to_music", "text_to_speech",
+                                 "video_text_to_music"])
+    parser.add_argument("--input", default="A peaceful piano melody",
+                        help="caption (T2M/VT2M) or target text (TTS)")
+    parser.add_argument("--prompt-text", default=None,
+                        help="TTS: transcription of the voice prompt")
+    parser.add_argument("--prompt-wav", default=None,
+                        help="TTS: voice prompt wav path")
+    parser.add_argument("--video", default=None, help="VT2M: video path")
+    parser.add_argument("--requests", default=None,
+                        help="JSON file with a list of {task, ...} request "
+                             "dicts served concurrently through the "
+                             "request batcher (heterogeneous batching)")
     parser.add_argument("--output", default="./served")
     parser.add_argument("--measure-latency", action="store_true")
     args = parser.parse_args()
@@ -111,10 +147,40 @@ def main():
     if args.measure_latency:
         print(json.dumps(measure_ttfa(model)))
         return 0
+    if args.requests:
+        # Heterogeneous serving through the request batcher: every task
+        # type coalesces into one generation batch on the mesh (the
+        # reference EP inference scripts are task-agnostic,
+        # multi_gpu_with_ep.py:21-34).
+        from unimoe_audio_tpu.apps.batcher import RequestBatcher
+
+        with open(args.requests) as f:
+            reqs = json.load(f)
+        batcher = RequestBatcher(model, output_dir=args.output)
+        futs = [batcher.submit(r.pop("task"), r) for r in reqs]
+        outs, errs = [], []
+        for i, fut in enumerate(futs):
+            try:
+                outs.append(fut.result(timeout=3600))
+            except Exception as e:  # noqa: BLE001
+                outs.append(None)
+                errs.append({"index": i, "error": str(e)})
+        batcher.close()
+        print(json.dumps({"outputs": outs, "errors": errs}))
+        return 1 if errs and not any(outs) else 0
     if args.task == "text_to_music":
         out = model.text_to_music(args.input, output_dir=args.output)
-    else:
-        raise SystemExit(f"serve CLI supports text_to_music; got {args.task}")
+    elif args.task == "text_to_speech":
+        if not args.prompt_text or not args.prompt_wav:
+            raise SystemExit("text_to_speech needs --prompt-text and --prompt-wav")
+        out = model.text_to_speech(
+            args.input, prompt_text=args.prompt_text,
+            prompt_wav=args.prompt_wav, output_dir=args.output)
+    else:  # video_text_to_music
+        if not args.video:
+            raise SystemExit("video_text_to_music needs --video")
+        out = model.video_text_to_music(
+            args.video, args.input, output_dir=args.output)
     print(json.dumps({"outputs": out}))
     return 0
 

@@ -136,6 +136,12 @@ class Dac:
                 batch[i, :, lens[i]:] = c[:, -1:]
         audio = np.asarray(self._decode(self.params, jnp.asarray(batch)))  # [B, 1, T·hop]
         hop = audio.shape[-1] // T
+        # Per-stream slicing below assumes exactly hop samples per frame;
+        # if the conv stack ever trims edges the slices would silently
+        # misalign — fail loudly instead.
+        assert audio.shape[-1] == T * hop, (
+            f"decoder output {audio.shape[-1]} not a multiple of T={T}"
+        )
         sr = self.config.sample_rate
         out = []
         for i, path in enumerate(save_paths):

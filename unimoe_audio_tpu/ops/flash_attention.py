@@ -129,8 +129,10 @@ def _flash_vjp_fwd(q, k, v, kv_valid, causal, bq, bk, interpret):
 def _flash_vjp_bwd(causal, bq, bk, interpret, res, g):
     # Fused Pallas backward (classic two-pass flash backward: dq streams
     # over K blocks; dk/dv stream over Q blocks), replacing round-1's
-    # XLA-recompute VJP.  Exact same math as _reference_attention's VJP
-    # (tested in tests/test_flash_attention.py).
+    # XLA-recompute VJP.  Same math as _reference_attention's VJP; on TPU
+    # the dS/P intermediates are bf16-rounded before the MXU matmuls, so
+    # gradients match the oracle exactly in the f32/interpret configuration
+    # and to bf16 tolerance on-device (tests/test_flash_attention.py).
     q, k, v, kv_valid, out, m, l = res
     dq, dk, dv = _flash_backward(
         q, k, v, kv_valid, out, m, l, g, causal, bq, bk, interpret

@@ -138,7 +138,8 @@ def main(argv=None):
             params = jax.tree.map(jnp.asarray, params)
     else:
         print("[warning] no model.jax.pkl found — random init (development run)")
-        params = init_model_params(jax.random.PRNGKey(args.seed), cfg)
+        params = init_model_params(jax.random.PRNGKey(args.seed), cfg,
+                                   with_vision=cfg.vision_config is not None)
 
     # --- mesh ------------------------------------------------------------
     n_dev = len(jax.devices())
@@ -157,12 +158,24 @@ def main(argv=None):
 
         print("[warning] no HF tokenizer assets — using the development "
               "whitespace tokenizer")
-        tokenizer = SimpleTokenizer(vocab_size=cfg.text_config.vocab_size)
+        tokenizer = SimpleTokenizer(
+            vocab_size=cfg.text_config.vocab_size,
+            # Vision specials must map to the config ids so mRoPE spans
+            # resolve (get_rope_index keys on vision_start_token_id).
+            special={
+                "<|vision_start|>": cfg.vision_start_token_id,
+                "<|vision_end|>": cfg.vision_end_token_id,
+                "<|image_pad|>": cfg.image_token_id,
+                "<|video_pad|>": cfg.video_token_id,
+            },
+        )
     dataset = ConversationDataset(
         args.data_path, tokenizer,
         image_token_index=cfg.image_token_id,
         model_max_length=args.model_max_length,
         data_sample=args.data_sample,
+        image_root=args.image_root,
+        vision_config=cfg.vision_config,
     )
     collator = Collator(
         pad_token_id=tokenizer.pad_token_id or 0,

@@ -16,6 +16,11 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 IGNORE_INDEX = -100
+# Image budget for TRAINING samples (reference: qwen2vl_datasets.py:28-30;
+# videos use tighter budgets, apps/video.py).
+IMAGE_FACTOR = 28
+IMAGE_MIN_PIXELS = 4 * 28 * 28
+IMAGE_MAX_PIXELS = 16384 * 28 * 28
 DEFAULT_IMAGE_TOKEN = "<|image_pad|>"
 DEFAULT_IMAGE_PROMPT = "<|vision_start|><|image_pad|><|vision_end|>{}"
 SYSTEM_MESSAGE = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
@@ -126,6 +131,51 @@ def preprocess_supervised(
     }
 
 
+def preprocess_pretraining(
+    sentence: str,
+    tokenizer,
+    *,
+    image_token: str = DEFAULT_IMAGE_TOKEN,
+    image_token_index: int = 151655,
+    label_ignore_index: int = IGNORE_INDEX,
+    model_max_length: Optional[int] = None,
+    has_image: bool = False,
+    truncation: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Plain-text pretraining tokenization: one sentence → input_ids +
+    labels where every token is a target except image tokens, plus the
+    EOS position (reference: datasets_utils.py:46-79).  Unlike
+    preprocess_supervised there is no role masking — the LM trains on the
+    full sequence."""
+    if has_image:
+        input_ids = tokenizer_image_token(
+            sentence, tokenizer, image_token=image_token,
+            image_token_index=image_token_index,
+        )
+    else:
+        out = tokenizer(sentence).input_ids
+        input_ids = list(out[0] if out and isinstance(out[0], list) else out)
+
+    eos_id = getattr(tokenizer, "eos_token_id", None)
+    if (truncation and model_max_length is not None
+            and len(input_ids) >= model_max_length):
+        input_ids = input_ids[:model_max_length]
+        if eos_id is not None:
+            input_ids[-1] = eos_id
+    elif eos_id is not None:
+        input_ids = input_ids + [eos_id]
+
+    ids = np.asarray(input_ids, dtype=np.int64)
+    labels = ids.copy()
+    if has_image:
+        labels[labels == image_token_index] = label_ignore_index
+    return {
+        "input_ids": ids,
+        "labels": labels,
+        "global_text_index": np.int64(len(ids) - 1),
+    }
+
+
 def expand_image_tokens(conversation: List[Dict], n_tokens: int,
                         image_token: str = DEFAULT_IMAGE_TOKEN,
                         prepend_prompt: bool = True) -> List[Dict]:
@@ -141,6 +191,41 @@ def expand_image_tokens(conversation: List[Dict], n_tokens: int,
         sentence = sentence.replace("<|placeholder|>", image_token)
         turn["value"] = sentence
     return conversation
+
+
+def load_image_patches(
+    image_path: str,
+    *,
+    patch_size: int = 14,
+    temporal_patch_size: int = 2,
+    merge_size: int = 2,
+    min_pixels: int = IMAGE_MIN_PIXELS,
+    max_pixels: int = IMAGE_MAX_PIXELS,
+):
+    """PIL image → (flattened vision patches [S, C·tps·ps²],
+    image_grid_thw [3]).
+
+    The reference opens image_path, smart_resizes under the pixel budget,
+    and runs Qwen2VLImageProcessor for pixel_values/image_grid_thw
+    (qwen2vl_datasets.py:103-132); here a single image is a one-frame
+    video through the SAME patchifier the VT2M inference path uses
+    (apps/video.py:video_to_patches — rescale + CLIP-normalize + conv3d
+    patch order), so the matmul patch embed consumes it bit-identically.
+    """
+    from PIL import Image
+
+    from ..apps.video import smart_resize, video_to_patches
+
+    img = Image.open(image_path).convert("RGB")
+    width, height = img.size
+    rh, rw = smart_resize(height, width, factor=IMAGE_FACTOR,
+                          min_pixels=min_pixels, max_pixels=max_pixels)
+    img = img.resize((rw, rh))
+    arr = np.asarray(img, dtype=np.float32).transpose(2, 0, 1)[None]  # [1,3,H,W]
+    return video_to_patches(
+        arr, patch_size=patch_size,
+        temporal_patch_size=temporal_patch_size, merge_size=merge_size,
+    )
 
 
 @dataclass
@@ -239,7 +324,9 @@ class ConversationDataset:
     def __init__(self, data, tokenizer, *, shuffle_seed: int = 233,
                  image_token_index: int = 151655,
                  model_max_length: Optional[int] = 4096,
-                 data_sample: Optional[int] = None):
+                 data_sample: Optional[int] = None,
+                 image_root: Optional[str] = None,
+                 vision_config=None):
         if isinstance(data, str):
             import datasets as hfds
 
@@ -249,6 +336,12 @@ class ConversationDataset:
         self.tokenizer = tokenizer
         self.image_token_index = image_token_index
         self.model_max_length = model_max_length
+        self.image_root = image_root
+        # Patch geometry for image samples; defaults match the flagship
+        # Qwen2.5-VL tower (config.VisionConfig).
+        self.patch_size = getattr(vision_config, "patch_size", 14)
+        self.temporal_patch_size = getattr(vision_config, "temporal_patch_size", 2)
+        self.merge_size = getattr(vision_config, "spatial_merge_size", 2)
         if data_sample is not None:
             self.data = self.data.select(range(min(data_sample, len(self.data))))
 
@@ -256,12 +349,38 @@ class ConversationDataset:
         return len(self.data)
 
     def __getitem__(self, i) -> Dict[str, np.ndarray]:
+        import os
+
         src = self.data[i]
-        has_image = src.get("image_path") is not None
+        image_path = src.get("image_path")
+        has_image = image_path is not None
         conversations = src["conversations"]
-        return preprocess_supervised(
+        extra: Dict[str, np.ndarray] = {}
+        if has_image:
+            # Image last mile (reference LazySupervisedDataset.__getitem__,
+            # qwen2vl_datasets.py:103-165): load, smart_resize, patchify,
+            # and expand each <|image_pad|> to grid.prod()//merge² copies.
+            if self.image_root:
+                image_path = os.path.join(self.image_root, image_path)
+            patches, grid = load_image_patches(
+                image_path, patch_size=self.patch_size,
+                temporal_patch_size=self.temporal_patch_size,
+                merge_size=self.merge_size,
+            )
+            n_tokens = int(grid.prod()) // self.merge_size ** 2
+            conversations = expand_image_tokens(conversations, n_tokens)
+            extra = {"pixel_values": patches, "image_grid_thw": grid[None]}
+        out = preprocess_supervised(
             conversations, self.tokenizer,
             image_token_index=self.image_token_index,
             has_image=has_image,
             model_max_length=self.model_max_length,
         )
+        if has_image:
+            n_in_ids = int((out["input_ids"] == self.image_token_index).sum())
+            assert n_in_ids == int(extra["image_grid_thw"].prod()) // self.merge_size ** 2, (
+                "image tokens truncated away — raise model_max_length or "
+                "lower the image pixel budget"
+            )
+        out.update(extra)
+        return out

@@ -204,8 +204,22 @@ def train_step(
     )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
-    metrics["grad_norm"] = optax.global_norm(grads)
-    return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
+    grad_norm = optax.global_norm(grads)
+    metrics["grad_norm"] = grad_norm
+    # Skip-on-non-finite (the reference filters nan/inf losses and
+    # DeepSpeed's overflow check skips the optimizer step,
+    # moe_trainer.py:664-669): a nan/inf loss or gradient keeps the OLD
+    # params/opt_state — the bad step never corrupts the model.  The step
+    # counter also holds, so schedules don't advance on a skipped step.
+    finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+    keep = lambda new, old: jax.tree.map(
+        lambda n, o: jnp.where(finite, n, o), new, old)
+    metrics["skipped"] = (~finite).astype(jnp.float32)
+    return TrainState(
+        params=keep(params, state.params),
+        opt_state=keep(opt_state, state.opt_state),
+        step=state.step + finite.astype(state.step.dtype),
+    ), metrics
 
 
 def init_train_state(params: Dict, optimizer: optax.GradientTransformation) -> TrainState:

@@ -43,6 +43,10 @@ class TrainerConfig:
     dispatch_capacity: Optional[int] = None
     remat: bool = True
     seed: int = 0
+    # Run a validation pass every N optimizer steps (0 = off) when fit()
+    # receives eval_batches — the reference trainer's
+    # _maybe_log_save_evaluate cadence (moe_trainer.py:728,746).
+    eval_every: int = 0
     # Regex over param paths; non-matching params frozen (reference
     # set_trainable / only_gate_training).  None = train everything.
     trainable_pattern: Optional[str] = None
@@ -57,13 +61,40 @@ class TrainerConfig:
 
 
 class MetricsLogger:
-    """stdout + optional JSONL metrics sink (the reference logs losses to
-    wandb inside model.forward, utils/UniMoE_Audio_model.py:849-854; here
-    logging lives outside the compiled step)."""
+    """stdout + optional JSONL + optional wandb metrics sink (the reference
+    logs losses to wandb inside model.forward,
+    utils/UniMoE_Audio_model.py:849-854, with env plumbing in
+    script/training.sh:5-30; here logging lives outside the compiled step).
 
-    def __init__(self, jsonl_path: Optional[str] = None):
+    wandb activation mirrors the reference's env gating: use_wandb=None
+    auto-enables when the wandb package imports AND one of
+    WANDB_API_KEY/WANDB_PROJECT/WANDB_MODE is set; use_wandb=True forces a
+    hard failure if wandb is unavailable; False disables."""
+
+    def __init__(self, jsonl_path: Optional[str] = None, *,
+                 use_wandb: Optional[bool] = None,
+                 wandb_run_config: Optional[Dict[str, Any]] = None):
         self.jsonl_path = jsonl_path
         self._fh = open(jsonl_path, "a") if jsonl_path else None
+        self._wandb = None
+        env_on = any(os.environ.get(k) for k in
+                     ("WANDB_API_KEY", "WANDB_PROJECT", "WANDB_MODE"))
+        if use_wandb or (use_wandb is None and env_on):
+            try:
+                import wandb  # type: ignore
+
+                if wandb.run is None:
+                    wandb.init(
+                        project=os.environ.get("WANDB_PROJECT", "unimoe-audio-tpu"),
+                        name=os.environ.get("WANDB_NAME") or None,
+                        config=wandb_run_config or {},
+                    )
+                self._wandb = wandb
+            except ImportError:
+                if use_wandb:
+                    raise
+                print("[metrics] wandb env set but package unavailable — "
+                      "JSONL/stdout only")
 
     def log(self, step: int, metrics: Dict[str, Any]) -> None:
         flat = {k: float(v) for k, v in metrics.items()}
@@ -74,6 +105,16 @@ class MetricsLogger:
 
             self._fh.write(json.dumps({"step": step, **flat}) + "\n")
             self._fh.flush()
+        if self._wandb is not None:
+            self._wandb.log(flat, step=step)
+
+    def close(self) -> None:
+        if self._fh:
+            self._fh.close()
+            self._fh = None
+        if self._wandb is not None:
+            self._wandb.finish()
+            self._wandb = None
 
 
 class Trainer:
@@ -107,6 +148,7 @@ class Trainer:
             donate_argnums=(0,),
         )
         self.rng = jax.random.PRNGKey(tcfg.seed)
+        self._eval_fn = None  # built lazily on first evaluate()
 
     # -- checkpointing ---------------------------------------------------
     def maybe_resume(self) -> int:
@@ -214,12 +256,54 @@ class Trainer:
         batch["position_ids"] = pos
         return batch
 
+    # -- evaluation ------------------------------------------------------
+    def evaluate(self, eval_batches: Iterable[Dict[str, np.ndarray]],
+                 max_batches: Optional[int] = None) -> Dict[str, float]:
+        """Forward-only validation pass: mean loss/metrics over
+        eval_batches (the reference trainer's evaluate() inside
+        _maybe_log_save_evaluate, moe_trainer.py:728,746).  No dropout
+        jitter, no gradient, params untouched."""
+        from .step import aux_weight_at_step, loss_fn
+
+        if self._eval_fn is None:
+            tcfg, cfg = self.tcfg, self.cfg
+
+            def eval_step(params, batch, step):
+                aux_w = aux_weight_at_step(cfg, step)
+                # Fixed rng: eval-mode forward paths ignore jitter, and a
+                # constant key keeps the metric deterministic.
+                _, metrics = loss_fn(
+                    params, cfg, batch, jax.random.PRNGKey(0), aux_w,
+                    dispatch_mode=tcfg.dispatch_mode,
+                    capacity=tcfg.dispatch_capacity, remat=False,
+                )
+                return metrics
+
+            self._eval_fn = jax.jit(eval_step)
+
+        sums: Dict[str, float] = {}
+        n = 0
+        for j, batch in enumerate(eval_batches):
+            if max_batches is not None and j >= max_batches:
+                break
+            batch = self._prepare_vision_batch(batch)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            m = self._eval_fn(self.state.params, batch, self.state.step)
+            m = {k: float(v) for k, v in m.items()}
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + v
+            n += 1
+        return {f"eval_{k}": v / max(n, 1) for k, v in sums.items()}
+
     # -- training --------------------------------------------------------
     def fit(self, batches: Iterable[Dict[str, np.ndarray]],
-            max_steps: Optional[int] = None) -> List[Dict[str, float]]:
+            max_steps: Optional[int] = None,
+            eval_batches: Optional[List[Dict[str, np.ndarray]]] = None,
+            ) -> List[Dict[str, float]]:
         start = self.maybe_resume()
         history = []
         t0 = time.time()
+        i = 0
         for i, batch in enumerate(batches):
             # Host-side counter: int(self.state.step) would force a device
             # fetch (~30 ms over the axon tunnel) and serialize dispatch.
@@ -232,16 +316,26 @@ class Trainer:
             if step_no % self.tcfg.log_every == 0:
                 jax.block_until_ready(metrics["loss"])
                 metrics = {k: float(v) for k, v in metrics.items()}
-                if not np.isfinite(metrics["loss"]):
-                    # nan/inf filter (reference logging_nan_inf_filter,
-                    # moe_trainer.py:664-669) — flag loudly; the step was
-                    # already applied, so surface it for investigation.
-                    print(f"[warning] non-finite loss at step {step_no}: "
-                          f"{metrics['loss']}")
+                if metrics.get("skipped", 0.0) or not np.isfinite(metrics["loss"]):
+                    # nan/inf filter (reference logging_nan_inf_filter +
+                    # DeepSpeed overflow skip, moe_trainer.py:664-669):
+                    # train_step kept the old params/opt_state, so the bad
+                    # step did NOT corrupt the model — just surface it.
+                    print(f"[warning] non-finite loss/grad at step {step_no} "
+                          f"(loss={metrics['loss']}) — update skipped")
                 metrics["steps_per_sec"] = (i + 1) / (time.time() - t0)
                 self.logger.log(step_no, metrics)
                 history.append({"step": step_no, **metrics})
+            if (self.tcfg.eval_every and eval_batches is not None
+                    and step_no > 0 and step_no % self.tcfg.eval_every == 0):
+                em = self.evaluate(eval_batches)
+                self.logger.log(step_no, em)
+                history.append({"step": step_no, **em})
             if self.tcfg.save_every and step_no > 0 and step_no % self.tcfg.save_every == 0:
                 self.save()
+        if self.tcfg.eval_every and eval_batches is not None:
+            em = self.evaluate(eval_batches)
+            self.logger.log(start + i, em)
+            history.append({"step": start + i, **em})
         self.save()
         return history
