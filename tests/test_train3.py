@@ -154,7 +154,8 @@ def test_vision_tower_gradients_flow_from_dataset_batch(tmp_path):
     items = [ds[i] for i in range(len(ds)) if "pixel_values" in ds[i]]
     batch = Collator(pad_token_id=0, aux_balance_weight=10.0)(items)
 
-    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32,
+                               with_vision=True)
     tr = Trainer(cfg, params, TrainerConfig(remat=False, total_steps=2,
                                             warmup_steps=0, save_every=0))
     batch = tr._prepare_vision_batch(dict(batch))
