@@ -85,23 +85,102 @@ def param_specs(cfg: UniMoEAudioConfig) -> Dict:
     }
 
 
-def shard_params(params: Dict, mesh: Mesh, cfg: UniMoEAudioConfig) -> Dict:
+def add_fsdp_axis(specs, params, mesh: Mesh, *, min_bytes: int = 1 << 18):
+    """Upgrade base PartitionSpecs with 'data'-axis (ZeRO/FSDP-style)
+    sharding — the TPU-native equivalent of the reference's ZeRO-2
+    partitioned optimizer state + gradients
+    (reference: UniMoEV2-Preview/deepspeed_zero2.conf:23-37).
+
+    Every large leaf gets 'data' added on its largest divisible dim that
+    isn't already sharded (skipping the scanned layer-stack dim 0 of
+    rank>=3 tensors — sharding L would turn every scan iteration into a
+    cross-rank fetch).  Params sharded this way pull their Adam moments
+    along (optax zeros_like follows sharding), so optimizer state shards
+    over data ranks instead of replicating; XLA inserts the all-gathers
+    (forward/update) and reduce-scatters (backward) — GSPMD's "weight
+    sharding over the data axis == ZeRO" correspondence.
+    """
+    data_size = int(mesh.shape.get("data", 1))
+    axis_size = {a: int(mesh.shape[a]) for a in mesh.axis_names}
+
+    def upgrade(path, leaf, spec):
+        if type(leaf).__name__ == "QTensor":  # quantized leaf: shard by q
+            leaf = leaf.q
+        shape = tuple(getattr(leaf, "shape", ()) or ())
+        if not shape or data_size <= 1:
+            return spec
+        size = 1
+        for d in shape:
+            size *= d
+        itemsize = getattr(getattr(leaf, "dtype", None), "itemsize", 4)
+        if size * itemsize < min_bytes:
+            return spec
+        # Leaves under "layers" are layer-stacked [L, ...] and consumed by
+        # the decoder scan: dim 0 stays unsharded and the last (output) dim
+        # is off limits (see pass 1).
+        scanned = bool(path) and getattr(path[0], "key", None) == "layers"
+        entries = list(spec) if spec is not None else []
+        entries += [None] * (len(shape) - len(entries))
+        start = 1 if scanned else 0
+        last = len(shape) - 1
+        # Pass 1: largest unsharded divisible NON-LAST dim.  The last dim
+        # is usually the matmul OUTPUT dim; data-sharding it propagates a
+        # 'data' sharding onto the residual stream inside the layer scan,
+        # which this XLA version handles via "involuntary full
+        # rematerialization" — and miscompiles to NaN in the scan
+        # transpose (observed on the o_proj/down projections).
+        for i in sorted(range(start, last), key=lambda j: -shape[j]):
+            if entries[i] is None and shape[i] % data_size == 0:
+                entries[i] = "data"
+                return P(*entries)
+        # Pass 2: stack 'data' onto an already-sharded non-last dim when
+        # jointly divisible (e.g. F sharded 'model' -> ('model', 'data')).
+        for i in sorted(range(start, last), key=lambda j: -shape[j]):
+            e = entries[i]
+            if isinstance(e, str) and shape[i] % (axis_size[e] * data_size) == 0:
+                entries[i] = (e, "data")
+                return P(*entries)
+        # Pass 3: the last dim — only outside the scanned layer stack
+        # (embeds/heads/vision, consumed via gather or one matmul, no scan).
+        if not scanned:
+            if entries[last] is None and shape[last] % data_size == 0:
+                entries[last] = "data"
+            elif (isinstance(entries[last], str)
+                  and shape[last] % (axis_size[entries[last]] * data_size) == 0):
+                entries[last] = (entries[last], "data")
+        return P(*entries)
+
+    from ..ops.quant import QTensor
+
+    return jax.tree_util.tree_map_with_path(
+        upgrade, params, specs, is_leaf=lambda x: isinstance(x, QTensor))
+
+
+def shard_params(params: Dict, mesh: Mesh, cfg: UniMoEAudioConfig,
+                 *, fsdp: bool = False, fsdp_min_bytes: int = 1 << 18) -> Dict:
     """Place a param pytree onto the mesh per param_specs.
 
     Handles int8-quantized leaves (ops.quant.QTensor): the q tensor takes
     the weight's spec; the per-channel scale keeps each spec entry only
-    where its dim survived the reduction (size-1 dims can't shard)."""
+    where its dim survived the reduction (size-1 dims can't shard).
+
+    fsdp=True additionally shards every large leaf over the 'data' axis
+    (add_fsdp_axis) — optimizer moments created from these params inherit
+    the sharding, giving ZeRO-style partitioned optimizer state."""
     from ..ops.quant import QTensor
 
     specs = param_specs(cfg)
     if "vision" in params:
         # Vision tower (0.67B) replicates — it runs once per request.
+        # (Under fsdp its big leaves shard over 'data' like everything else.)
         specs = dict(specs)
         specs["vision"] = jax.tree.map(lambda x: P(), params["vision"])
     if "peft" in params:
         # PEFT adapters (train/peft.py) are tiny — replicate.
         specs = dict(specs)
         specs["peft"] = jax.tree.map(lambda x: P(), params["peft"])
+    if fsdp:
+        specs = add_fsdp_axis(specs, params, mesh, min_bytes=fsdp_min_bytes)
 
     def place(x, s):
         if isinstance(x, QTensor):

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_capacity", type=int, default=8)
     p.add_argument("--ep_size", type=int, default=1)
     p.add_argument("--tp_size", type=int, default=1)
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params + optimizer state over the data axis "
+                        "(ZeRO/FSDP-equivalent of the reference's ZeRO-2 "
+                        "partitioned optimizer, deepspeed_zero2.conf)")
     p.add_argument("--only_gate_training", action="store_true")
     # Data args
     p.add_argument("--data_path", required=True)
@@ -145,8 +149,9 @@ def main(argv=None):
     n_dev = len(jax.devices())
     mesh_shape = default_mesh_shape(n_dev, args.ep_size, args.tp_size)
     mesh = make_mesh(*mesh_shape)
-    params = shard_params(params, mesh, cfg)
-    print(f"mesh (data, expert, model) = {mesh_shape} over {n_dev} devices")
+    params = shard_params(params, mesh, cfg, fsdp=args.fsdp)
+    print(f"mesh (data, expert, model) = {mesh_shape} over {n_dev} devices"
+          + (" [fsdp]" if args.fsdp else ""))
 
     # --- data ------------------------------------------------------------
     try:

@@ -125,9 +125,14 @@ class Trainer:
         tcfg: TrainerConfig,
         *,
         logger: Optional[MetricsLogger] = None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.tcfg = tcfg
+        # When a mesh is given, batches shard over (data, expert) so every
+        # rank holds distinct rows (true DP; required for FSDP to actually
+        # split work — a replicated batch makes every data rank redundant).
+        self.mesh = mesh
         self.optimizer = make_optimizer(
             learning_rate=tcfg.learning_rate,
             weight_decay=tcfg.weight_decay,
@@ -256,6 +261,31 @@ class Trainer:
         batch["position_ids"] = pos
         return batch
 
+    # -- batch placement -------------------------------------------------
+    # Batch-dim index per key (default 0); keys absent here with other
+    # leading dims replicate.
+    _BATCH_DIM = {"position_ids": 1}
+
+    def _place_batch(self, batch: Dict) -> Dict:
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = int(self.mesh.shape["data"]) * int(self.mesh.shape["expert"])
+        out = {}
+        for k, v in batch.items():
+            v = jnp.asarray(v)
+            bd = self._BATCH_DIM.get(k, 0)
+            if (v.ndim > bd and v.shape[bd] % n == 0
+                    and not k.startswith("vision_")):
+                spec = [None] * v.ndim
+                spec[bd] = ("data", "expert")
+                v = jax.device_put(v, NamedSharding(self.mesh, P(*spec)))
+            else:
+                v = jax.device_put(v, NamedSharding(self.mesh, P()))
+            out[k] = v
+        return out
+
     # -- evaluation ------------------------------------------------------
     def evaluate(self, eval_batches: Iterable[Dict[str, np.ndarray]],
                  max_batches: Optional[int] = None) -> Dict[str, float]:
@@ -287,7 +317,7 @@ class Trainer:
             if max_batches is not None and j >= max_batches:
                 break
             batch = self._prepare_vision_batch(batch)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch = self._place_batch(batch)
             m = self._eval_fn(self.state.params, batch, self.state.step)
             m = {k: float(v) for k, v in m.items()}
             for k, v in m.items():
@@ -311,7 +341,7 @@ class Trainer:
             if max_steps is not None and step_no >= max_steps:
                 break
             batch = self._prepare_vision_batch(batch)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch = self._place_batch(batch)
             self.state, metrics = self._step_fn(self.state, batch, self.rng)
             if step_no % self.tcfg.log_every == 0:
                 jax.block_until_ready(metrics["loss"])
