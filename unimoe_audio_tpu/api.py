@@ -327,11 +327,13 @@ class UniMoEAudio:
         # Long generations use the chunked-cache-growth loop: every decode
         # step streams the full static KV buffer, so right-sizing it per
         # chunk (generate_chunked) bounds dead cache reads; semantically
-        # identical to one generate_jit call (tested).  Short generations
-        # keep the single-executable path.
+        # identical to one generate_jit call (tested — including
+        # visual_embeds/max_tokens_vec/prefix_kv: vision only affects the
+        # first chunk's prefill, per-sample budgets trigger the in-loop
+        # EOS machine, and the PEFT prefix length is part of the chunk
+        # bucket math).  Short generations keep the single-executable path.
         gen_fn = generate_jit
-        if (max_tokens >= 512 and visual_embeds is None
-                and max_tokens_vec is None and peft_prefix is None):
+        if max_tokens >= 512:
             from .generate.loop import generate_chunked
 
             gen_fn = generate_chunked

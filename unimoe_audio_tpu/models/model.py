@@ -394,6 +394,7 @@ def model_forward(
     compute_lm_logits: bool = False,
     remat: bool = False,
     prefix_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # [L, n, KV, Dh]
+    ring: Optional[Tuple] = None,        # (Mesh, axis): ring-attention SP
 ) -> ModelOutput:
     """Full-model forward (no cache — training / eval path).
 
@@ -454,6 +455,7 @@ def model_forward(
         capacity=capacity,
         remat=remat,
         prefix_kv=prefix_kv,
+        ring=ring,
     )
     hidden = out.last_hidden_state
 

@@ -3,9 +3,10 @@
 Replaces the reference's MoETrainer/DeepSpeed machinery
 (reference: UniMoEV2-Preview/training/moe_trainer.py:288-809 + ZeRO-2
 config): grad sync and optimizer-state sharding come from the mesh
-shardings (ZeRO-equivalent = optimizer state sharded like params over the
-data axis is not needed on TPU pods at this scale; params/grads follow
-param_specs and XLA inserts the psums).
+shardings — params/grads follow param_specs and XLA inserts the psums.
+The ZeRO-2 equivalent (optimizer state partitioned over the data axis) is
+shard_params(fsdp=True) (parallel/mesh.add_fsdp_axis); the ZeRO CPU-offload
+equivalent is train/offload.py.
 """
 
 from __future__ import annotations
@@ -111,6 +112,7 @@ def loss_fn(
     dispatch_mode: str = "dense",
     capacity: Optional[int] = None,
     remat: bool = True,
+    ring=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     inputs_embeds = batch.get("inputs_embeds")
     prefix = None
@@ -174,6 +176,7 @@ def loss_fn(
         capacity=capacity,
         remat=remat,
         prefix_kv=prefix,
+        ring=ring,
     )
     metrics = {
         "loss": out.loss,
@@ -194,6 +197,7 @@ def train_step(
     dispatch_mode: str = "dense",
     capacity: Optional[int] = None,
     remat: bool = True,
+    ring=None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SGD step (wrap in jax.jit with donate_argnums at the call site)."""
     aux_w = aux_weight_at_step(cfg, state.step)
@@ -201,6 +205,7 @@ def train_step(
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params, cfg, batch, step_rng, aux_w,
         dispatch_mode=dispatch_mode, capacity=capacity, remat=remat,
+        ring=ring,
     )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)

@@ -58,6 +58,11 @@ class TrainerConfig:
     # Merged-vision-token bucket: grids pad up to a multiple of this so a
     # handful of compiled steps serve all image sizes.
     vision_bucket: int = 64
+    # Ring-attention sequence parallelism for long-context training: shard
+    # the sequence over this mesh axis (requires Trainer(mesh=...)); the
+    # attention window rotates K/V via ppermute (ops/ring_attention) so no
+    # device holds full-sequence K/V.  None = off.
+    ring_axis: Optional[str] = None
 
 
 class MetricsLogger:
@@ -144,11 +149,16 @@ class Trainer:
         )
         self.state = init_train_state(params, self.optimizer)
         self.logger = logger or MetricsLogger()
+        ring = None
+        if tcfg.ring_axis is not None:
+            assert mesh is not None, "ring_axis requires Trainer(mesh=...)"
+            ring = (mesh, tcfg.ring_axis)
         self._step_fn = jax.jit(
             lambda s, b, r: train_step(
                 s, b, r, cfg=cfg, optimizer=self.optimizer,
                 dispatch_mode=tcfg.dispatch_mode,
                 capacity=tcfg.dispatch_capacity, remat=tcfg.remat,
+                ring=ring,
             ),
             donate_argnums=(0,),
         )
