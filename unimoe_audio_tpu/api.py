@@ -70,11 +70,15 @@ class UniMoEAudio:
         min_tokens: Optional[int] = None,
         serving_mode: bool = False,
     ):
-        """serving_mode=True applies the tuned single-chip serving stack:
-        int8 weight-only quantization, lane-padded expert FFNs, and
+        """serving_mode applies the tuned single-chip serving stack:
+        weight-only quantization, lane-padded expert FFNs, and
         capacity-packed dispatch in both prefill and decode (the bench
-        configuration — near-lossless, ~1.9× decode throughput over the
-        exact dense path)."""
+        configuration).  True or "int8" = int8 everywhere quantizable
+        (near-lossless, ~1.9× decode throughput over the exact dense
+        path); "int4" additionally stores the EXPERT FFNs as packed s4
+        (half the dominant weight stream — the single-stream/low-batch
+        latency operating point, ~1.35× over int8 there; numerics table
+        in docs/STATUS.md)."""
         del device_id  # JAX targets the default device; kept for API parity
         self.MAX_TOKENS = max_tokens if max_tokens is not None else UniMoEAudio.MAX_TOKENS
         self.MIN_TOKENS = min_tokens if min_tokens is not None else UniMoEAudio.MIN_TOKENS
@@ -82,15 +86,18 @@ class UniMoEAudio:
         self.config, self.params = self._load_model(
             model_path, dtype=dtype, allow_random=allow_random, config=config
         )
+        assert serving_mode in (False, True, "int8", "int4"), serving_mode
         self.serving_mode = serving_mode
         if serving_mode:
             from .ops.quant import (
                 pad_expert_ffn, quantize_model_params_inplace,
-                quantize_vision_params,
+                quantize_vision_params, requantize_experts_int4_inplace,
             )
 
             self.params = quantize_model_params_inplace(self.params)
             self.params = pad_expert_ffn(self.params)
+            if serving_mode == "int4":
+                self.params = requantize_experts_int4_inplace(self.params)
             if "vision" in self.params:
                 self.params["vision"] = quantize_vision_params(
                     self.params["vision"])

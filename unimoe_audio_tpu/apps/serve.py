@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspa
 
 
 def build_server(model_path: Optional[str], *, ep_size: int = 1, tp_size: int = 1,
-                 allow_random: bool = False, quantize: bool = False,
+                 allow_random: bool = False, quantize=False,
                  tokenizer=None, config=None, max_tokens: int = 1000,
                  min_tokens: int = 100):
     """Load + shard a model for serving; returns the UniMoEAudio instance."""
@@ -39,8 +39,9 @@ def build_server(model_path: Optional[str], *, ep_size: int = 1, tp_size: int = 
     model = UniMoEAudio(
         model_path, allow_random=allow_random, config=config, tokenizer=tokenizer,
         max_tokens=max_tokens, min_tokens=min_tokens,
-        # serving_mode = int8 + lane-padded expert FFNs + capacity-packed
-        # dispatch (the bench configuration).
+        # serving_mode = quantized + lane-padded expert FFNs +
+        # capacity-packed dispatch (the bench configuration); "int4" packs
+        # the expert FFNs as s4 for the low-batch latency operating point.
         serving_mode=quantize,
     )
 
@@ -52,7 +53,8 @@ def build_server(model_path: Optional[str], *, ep_size: int = 1, tp_size: int = 
         # from the weight specs).
         model.params = shard_params(model.params, mesh, model.config)
         print(f"serving on mesh (data, expert, model) = {shape}"
-              + (" [int8]" if quantize else ""))
+              + (f" [{'int8' if quantize is True else quantize}]"
+                 if quantize else ""))
     return model
 
 
@@ -114,7 +116,11 @@ def main():
     parser.add_argument("--model", default=None)
     parser.add_argument("--ep-size", type=int, default=1)
     parser.add_argument("--tp-size", type=int, default=1)
-    parser.add_argument("--quantize", action="store_true", help="int8 serving path")
+    parser.add_argument("--quantize", nargs="?", const="int8", default=False,
+                        choices=["int8", "int4"],
+                        help="quantized serving path (bare flag = int8; "
+                             "int4 packs expert FFNs as s4 for low-batch "
+                             "latency)")
     parser.add_argument("--allow-random", action="store_true")
     parser.add_argument("--task", default="text_to_music",
                         choices=["text_to_music", "text_to_speech",

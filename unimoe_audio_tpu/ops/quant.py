@@ -86,6 +86,114 @@ _QUANT_PATHS = (
 )
 
 
+def packed_int4_format(shape, sharding):
+    """The PACKED s4 layout (two nibbles per byte in HBM).
+
+    Plain `astype(jnp.int4)` on this jax version emits s4 with
+    sub_byte_element_size_in_bits=0 (one BYTE per nibble — no bandwidth
+    saved) while consumers expect =4, and the 0→4 relayout device_put
+    recurses (axon jax 0.9 bug).  Forcing the producer's out_shardings to
+    this Format sidesteps both: the array is half-size in HBM and every
+    consuming jit accepts it directly (measured 1.48x over int8 on the
+    36-layer decode expert stream).  Returns None off-TPU (tests fall back
+    to plain int4 arrays; numerics identical)."""
+    import jax as _jax
+
+    if _jax.default_backend() not in ("tpu", "axon"):
+        return None
+    from jax._src.layout import Format, Layout
+
+    return Format(
+        layout=Layout(
+            major_to_minor=tuple(range(len(shape))),
+            tiling=((64, 128), (8, 1)),
+            sub_byte_element_size_in_bits=4,
+        ),
+        sharding=sharding,
+    )
+
+
+def _to_packed_int4(q_vals: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Cast integer-valued q (in [-7, 7]) to s4 with the packed layout."""
+    fmt = packed_int4_format(q_vals.shape, like.sharding)
+    f = jax.jit(lambda q: q.astype(jnp.int4),
+                **({"out_shardings": fmt} if fmt is not None else {}))
+    return f(q_vals)
+
+
+def quantize_tensor_int4(w: jnp.ndarray) -> QTensor:
+    """Per-output-channel symmetric int4 (15 levels): s = max|w|/7.
+    q stored as PACKED s4 — half the weight stream of int8.  Relative
+    weight RMS error ~12.6% on gaussian weights (step = amax/7, rms =
+    step/sqrt(12); int8 is ~0.7%) — a latency-optimized operating point,
+    NOT near-lossless like int8: serve it where the step is
+    weight-streaming-bound (single-stream/low-batch decode; reference AR
+    loop anchor: utils/UniMoE_Audio_model.py:918-1068) and the quality
+    budget allows.  See docs/STATUS.md for the measured logits-delta
+    table."""
+    w32 = jnp.asarray(w).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(w32 / s), -7, 7).astype(jnp.int8)
+    return QTensor(q=_to_packed_int4(q, jnp.asarray(w)), s=s)
+
+
+def requantize_experts_int4_inplace(params: Dict) -> Dict:
+    """Convert the (already int8-quantized, lane-padded) expert FFN
+    weights to packed s4 — the int4 serving mode's second quantization
+    stage.  Requantizing from the int8 grid adds negligible error on top
+    of direct int4 (the int8 grid is 18x finer).  MUTATES and returns
+    `params`; per-leaf streaming keeps the transient at one dequantized
+    leaf."""
+    import gc
+
+    def f(q8, s8):
+        w = q8.astype(jnp.float32) * s8          # dequantize
+        amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+        s4 = jnp.maximum(amax, 1e-8) / 7.0
+        q4 = jnp.clip(jnp.round(w / s4), -7, 7).astype(jnp.int8)
+        return q4, s4
+
+    f_jit = jax.jit(f)
+
+    def conv(qt: QTensor) -> QTensor:
+        # Chunk along the stacked-L dim: the fp32 dequantize transient of
+        # a full flagship expert leaf is ~6.6 GB — chunking bounds it at
+        # ~1 GB so int4 conversion works alongside a resident int8 model.
+        L = qt.q.shape[0]
+        per_layer_f32 = (qt.q.size // max(L, 1)) * 4
+        ch = max(1, min(L, (1 << 30) // max(per_layer_f32, 1)))
+        q4s, s4s = [], []
+        for a in range(0, L, ch):
+            q4c, s4c = f_jit(qt.q[a:a + ch], qt.s[a:a + ch])
+            q4s.append(q4c)
+            s4s.append(s4c)
+        q4 = jnp.concatenate(q4s) if len(q4s) > 1 else q4s[0]
+        s4 = jnp.concatenate(s4s) if len(s4s) > 1 else s4s[0]
+        del q4s, s4s
+        out = QTensor(q=_to_packed_int4(q4, qt.q), s=s4)
+        del q4
+        return out
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "dynamic" in node and "fixed" in node:  # a moe param group
+                for g in (node["dynamic"], node["fixed"]):
+                    if isinstance(g, dict) and "gate" in g:
+                        for key in ("gate", "up", "down"):
+                            if isinstance(g[key], QTensor):
+                                old = g[key]
+                                g[key] = conv(old)
+                                del old
+                                gc.collect()
+                return
+            for v in node.values():
+                walk(v)
+
+    walk(params)
+    return params
+
+
 def quantize_vision_params(vision: Dict) -> Dict:
     """Int8 weight-only quantization of the vision tower (0.67B params at
     flagship scale — serves VT2M prefill bandwidth and HBM headroom).
