@@ -107,6 +107,76 @@ def train_tokens_per_sec():
     return B * T / dt
 
 
+def stream_train_probe():
+    """FULL 36-layer flagship training on ONE chip via layer-streamed
+    params + host-resident Adam moments (train/stream.py — the
+    reference's ZeRO-2 param+optimizer CPU-offload regime,
+    deepspeed_zero2.conf:23-37 offload_param/offload_optimizer).  Device
+    residency is depth-independent; ~6.9B params train on 16 GB HBM.
+    Runs as a bench subprocess (isolated HBM; one JSON line on stdout)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from unimoe_audio_tpu.config import TextMoEConfig, UniMoEAudioConfig
+    from unimoe_audio_tpu.train.stream import StreamTrainer
+
+    cfg = UniMoEAudioConfig(text_config=TextMoEConfig(), vision_config=None)
+    L = cfg.text_config.num_hidden_layers
+    t0 = time.time()
+    tr = StreamTrainer(cfg, rng=jax.random.PRNGKey(0), learning_rate=1e-4,
+                       grad_clip=1.0)
+    n_params = sum(
+        int(np.prod(x.shape))
+        for lp in tr.layers_host for x in jax.tree.leaves(lp))
+    n_params += sum(x.size for x in jax.tree.leaves(tr.outer_state.params))
+    n_params += sum(x.size for x in jax.tree.leaves(tr.static_outer))
+    init_s = time.time() - t0
+    tr.outer_opt.precompile(tr.outer_state.params)
+
+    # B=8 measured best on the axon v5e: the ~30 s/step PCIe param+moment
+    # stream is batch-independent, so larger B amortizes it (B=4: 221
+    # tok/s, B=8: 371 tok/s).
+    B, T, C = 8, 2048, cfg.codec_channels
+    rng = np.random.default_rng(0)
+    codec = rng.integers(0, cfg.codec_eos_value, size=(B, T, C)).astype(np.int32)
+    batch = {
+        "input_ids": jnp.full((B, T), cfg.codec_placeholder_value, jnp.int32),
+        "codec_input_ids": jnp.asarray(codec),
+        "attention_mask": jnp.ones((B, T), jnp.int32),
+        "codec_labels": jnp.asarray(codec),
+    }
+    t0 = time.time()
+    m = tr.train_step(batch, jax.random.PRNGKey(1))  # compiles everything
+    _sync(tr)
+    compile_s = time.time() - t0
+    assert m["skipped"] == 0.0 and np.isfinite(m["loss"])
+    times = []
+    for i in range(2):
+        t0 = time.time()
+        m = tr.train_step(batch, jax.random.PRNGKey(2 + i))
+        _sync(tr)
+        times.append(time.time() - t0)
+    dt = min(times)
+    print(json.dumps({
+        "full_train_tokens_per_sec": round(B * T / dt, 0),
+        "full_train_layers": L,
+        "full_train_params_b": round(n_params / 1e9, 2),
+        "full_train_step_s": round(dt, 2),
+        "full_train_init_s": round(init_s, 1),
+        "full_train_compile_s": round(compile_s, 1),
+        "full_train_final_loss": round(float(m["loss"]), 3),
+    }))
+
+
+def _sync(tr):
+    """Block until the async update phase lands (last layer + outer)."""
+    import jax
+
+    jax.block_until_ready(jax.tree.leaves(tr.layers_host[-1])[0])
+    jax.block_until_ready(jax.tree.leaves(tr.outer_state.params)[0])
+
+
 def deep_train_probe():
     """12-layer flagship-WIDTH training on ONE chip via host-offloaded
     fp32 Adam moments (train/offload.py — the reference's ZeRO-2 CPU
@@ -197,6 +267,25 @@ def main():
     except subprocess.TimeoutExpired:
         print("deep-train probe timed out (skipped)", file=sys.stderr)
 
+    extra_stream = {}
+    try:
+        # Full 36L flagship layer-streamed training, also pre-HBM-claim.
+        r = subprocess.run(
+            [sys.executable, __file__, "--stream-train"],
+            capture_output=True, text=True, timeout=1800,
+        )
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                extra_stream = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if not extra_stream:
+            print(f"stream-train probe produced no JSON (rc={r.returncode}): "
+                  f"{r.stderr[-300:]}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("stream-train probe timed out (skipped)", file=sys.stderr)
+
     FRAME_RATE = 50.0
     B = 88
     T_text = 32
@@ -206,6 +295,7 @@ def main():
 
     extra = {}
     extra.update(extra_deep)
+    extra.update(extra_stream)
     extra["flash_fwd_bwd_speedup"] = round(flash_speedup(), 2)
     extra["train_tokens_per_sec"] = round(train_tokens_per_sec(), 0)
 
@@ -341,5 +431,7 @@ def main():
 if __name__ == "__main__":
     if "--deep-train" in sys.argv:
         deep_train_probe()
+    elif "--stream-train" in sys.argv:
+        stream_train_probe()
     else:
         main()

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_capacity", type=int, default=8)
     p.add_argument("--ep_size", type=int, default=1)
     p.add_argument("--tp_size", type=int, default=1)
+    p.add_argument("--param_offload", action="store_true",
+                   help="full-flagship single-chip training: layer params "
+                        "AND fp32 Adam moments live in TPU-host pinned "
+                        "memory, streamed per layer (train/stream.py — the "
+                        "reference's ZeRO-2 offload_param+offload_optimizer "
+                        "regime, deepspeed_zero2.conf:23-37)")
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + optimizer state over the data axis "
                         "(ZeRO/FSDP-equivalent of the reference's ZeRO-2 "
@@ -146,12 +152,13 @@ def main(argv=None):
                                    with_vision=cfg.vision_config is not None)
 
     # --- mesh ------------------------------------------------------------
-    n_dev = len(jax.devices())
-    mesh_shape = default_mesh_shape(n_dev, args.ep_size, args.tp_size)
-    mesh = make_mesh(*mesh_shape)
-    params = shard_params(params, mesh, cfg, fsdp=args.fsdp)
-    print(f"mesh (data, expert, model) = {mesh_shape} over {n_dev} devices"
-          + (" [fsdp]" if args.fsdp else ""))
+    if not args.param_offload:
+        n_dev = len(jax.devices())
+        mesh_shape = default_mesh_shape(n_dev, args.ep_size, args.tp_size)
+        mesh = make_mesh(*mesh_shape)
+        params = shard_params(params, mesh, cfg, fsdp=args.fsdp)
+        print(f"mesh (data, expert, model) = {mesh_shape} over {n_dev} devices"
+              + (" [fsdp]" if args.fsdp else ""))
 
     # --- data ------------------------------------------------------------
     try:
@@ -199,6 +206,52 @@ def main(argv=None):
                            args.per_device_train_batch_size):
                 idx = order[i : i + args.per_device_train_batch_size]
                 yield collator([dataset[int(j)] for j in idx])
+
+    # --- layer-streamed full-offload training ----------------------------
+    if args.param_offload:
+        if args.peft_mode or args.only_gate_training:
+            raise SystemExit(
+                "--param_offload is full-parameter training only; PEFT and "
+                "gate-only curricula run through the standard trainer")
+        from .step import make_lr_schedule
+        from .stream import StreamTrainer
+
+        warmup = max(1, int(total_steps * args.warmup_ratio))
+        sched = make_lr_schedule(args.learning_rate, warmup, total_steps,
+                                 args.lr_scheduler_type)
+        ckpt_dir = os.path.join(args.output_dir, "stream_ckpt")
+        resume = os.path.isfile(os.path.join(ckpt_dir, "meta.json"))
+        trainer = StreamTrainer(
+            cfg,
+            None if resume else params,
+            restore_dir=ckpt_dir if resume else None,
+            learning_rate=sched,
+            weight_decay=args.weight_decay,
+            train_lm_head=True,
+        )
+        if resume:
+            print(f"resumed stream checkpoint at step {trainer.step}")
+        os.makedirs(args.output_dir, exist_ok=True)
+        logger = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
+        rng = jax.random.PRNGKey(args.seed)
+        for batch in batches():
+            if trainer.step >= total_steps:
+                break
+            if "pixel_values" in batch:
+                raise SystemExit(
+                    "--param_offload does not support image samples; train "
+                    "vision data through the standard trainer")
+            m = trainer.train_step(
+                {k: jnp.asarray(v) for k, v in batch.items()}, rng)
+            if trainer.step % args.logging_steps == 0 or m.get("skipped"):
+                logger.log(trainer.step, m)
+            if args.save_steps and trainer.step > 0 \
+                    and trainer.step % args.save_steps == 0:
+                trainer.save(ckpt_dir)
+        trainer.save(ckpt_dir)
+        with open(os.path.join(args.output_dir, "train_done.json"), "w") as f:
+            json.dump({"steps": int(trainer.step)}, f)
+        return 0
 
     # --- train -----------------------------------------------------------
     trainable = None

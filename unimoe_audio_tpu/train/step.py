@@ -27,6 +27,27 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def make_lr_schedule(learning_rate: float, warmup_steps: int,
+                     total_steps: int, schedule: str = "cosine"):
+    """Warmup + cosine/linear decay schedule callable (the reference's
+    deepspeed WarmupDecayLR, training.sh:60-66).  Shared by the optax path
+    (make_optimizer) and the offload/stream trainers, which take a
+    step->lr callable directly."""
+    if schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1)
+        )
+    if schedule == "linear":
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, learning_rate, warmup_steps),
+                optax.linear_schedule(learning_rate, 0.0, total_steps - warmup_steps),
+            ],
+            [warmup_steps],
+        )
+    return learning_rate
+
+
 def make_optimizer(
     *,
     learning_rate: float = 1e-4,
@@ -47,20 +68,7 @@ def make_optimizer(
     set_trainable regex freeze (training_utils.py:93-118), e.g.
     'moe/gate|moe/fixed' for the stage-2 router+shared-experts curriculum
     and 'moe/gate' for only_gate_training."""
-    if schedule == "cosine":
-        sched = optax.warmup_cosine_decay_schedule(
-            0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1)
-        )
-    elif schedule == "linear":
-        sched = optax.join_schedules(
-            [
-                optax.linear_schedule(0.0, learning_rate, warmup_steps),
-                optax.linear_schedule(learning_rate, 0.0, total_steps - warmup_steps),
-            ],
-            [warmup_steps],
-        )
-    else:
-        sched = learning_rate
+    sched = make_lr_schedule(learning_rate, warmup_steps, total_steps, schedule)
     # No weight decay on norms/biases/gates (the reference's decay/no-decay
     # split, moe_trainer.py:295-310).
     def decay_mask(params):
