@@ -219,6 +219,45 @@ def test_stream_cli_param_offload_end_to_end(tmp_path):
     assert meta["count"] == 3
 
 
+def test_stream_cli_grad_accum(tmp_path):
+    """`--param_offload --gradient_accumulation_steps 2`: micro-batches
+    group into one applied step each."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.make_sample_dataset import build
+    from unimoe_audio_tpu.train.cli import main
+
+    cfg = tiny_test_config()
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir)
+    cfg.save_json(os.path.join(model_dir, "config.json"))
+    data_path = str(tmp_path / "ds")
+    build(data_path, n=8, with_images=False)
+    out_dir = str(tmp_path / "out")
+
+    assert main([
+        "--model_name_or_path", model_dir,
+        "--data_path", data_path,
+        "--output_dir", out_dir,
+        "--param_offload",
+        "--gradient_accumulation_steps", "2",
+        "--per_device_train_batch_size", "2",
+        "--max_steps", "2",
+        "--logging_steps", "1",
+        "--save_steps", "0",
+        "--model_max_length", "64",
+    ]) == 0
+    import json as _json
+
+    done = _json.load(open(os.path.join(out_dir, "train_done.json")))
+    assert done["steps"] == 2  # 4 micro-batches -> 2 applied steps
+    rows = [_json.loads(l) for l in
+            open(os.path.join(out_dir, "metrics.jsonl"))]
+    assert all(r["micro_batches"] == 2.0 for r in rows)
+
+
 def test_stream_text_labels_requires_lm_head():
     cfg = tiny_test_config(num_hidden_layers=2)
     params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
@@ -228,6 +267,87 @@ def test_stream_text_labels_requires_lm_head():
     b["labels"] = jnp.zeros_like(b["input_ids"])
     with pytest.raises(ValueError):
         st.train_step(b, jax.random.PRNGKey(0))
+
+
+def _nojitter_cfg(**kw):
+    """Jitter off + constant aux weight: the forward is then deterministic
+    in the batch alone, so accumulated micro-steps can be compared exactly
+    against a single step."""
+    return tiny_test_config(
+        router_jitter_noise=0.0, input_jitter_noise=0.0,
+        l_aux_weight=0.01, min_l_aux_weight=0.01, **kw)
+
+
+def test_stream_grad_accum_identical_micros_match_single():
+    """train_step([b, b]) applies the clipped MEAN gradient: with two
+    identical micro-batches that equals train_step(b) exactly in fp32
+    ((2g)·(s/2) == g·s bitwise)."""
+    cfg = _nojitter_cfg(num_hidden_layers=3)
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    a = StreamTrainer(cfg, params, learning_rate=1e-3, weight_decay=0.1,
+                      grad_clip=1.0)
+    b_tr = StreamTrainer(cfg, params, learning_rate=1e-3, weight_decay=0.1,
+                         grad_clip=1.0)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(7)
+    b = _batch(cfg, rng)
+    m1 = a.train_step(b, key)
+    m2 = b_tr.train_step([b, b], key)
+    assert m2["micro_batches"] == 2.0
+    assert b_tr.step == 1
+    np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-6)
+    np.testing.assert_allclose(m1["grad_norm"], m2["grad_norm"], rtol=1e-5)
+    pa, pb = a.full_params(), b_tr.full_params()
+    for (path, x), (_, y) in zip(
+            jax.tree_util.tree_flatten_with_path(pa)[0],
+            jax.tree_util.tree_flatten_with_path(pb)[0]):
+        np.testing.assert_allclose(
+            x, y, atol=1e-7,
+            err_msg=f"accum drift at {jax.tree_util.keystr(path)}")
+
+
+def test_stream_grad_accum_distinct_micros_train():
+    """Accumulation over distinct micro-batches: one applied step per list,
+    loss decreases, and a single-element list matches the dict spelling."""
+    cfg = _nojitter_cfg(num_hidden_layers=2)
+    st = StreamTrainer(cfg, rng=jax.random.PRNGKey(3), learning_rate=3e-3)
+    rng = np.random.default_rng(1)
+    b1, b2 = _batch(cfg, rng), _batch(cfg, rng)
+    losses = [st.train_step([b1, b2], jax.random.PRNGKey(5))["loss"]
+              for _ in range(5)]
+    assert st.step == 5
+    assert losses[-1] < losses[0]
+    m = st.train_step([b1], jax.random.PRNGKey(5))
+    assert "micro_batches" not in m and st.step == 6
+
+
+def test_stream_grad_accum_nan_micro_skips_whole_step():
+    cfg = _nojitter_cfg(num_hidden_layers=2)
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    st = StreamTrainer(cfg, params, learning_rate=1e-3)
+    rng = np.random.default_rng(0)
+    st.layers_host[1]["attn"]["q_proj"]["w"] = (
+        st.layers_host[1]["attn"]["q_proj"]["w"].at[0, 0].set(jnp.nan))
+    before = st.full_params()
+    m = st.train_step([_batch(cfg, rng), _batch(cfg, rng)],
+                      jax.random.PRNGKey(0))
+    assert m["skipped"] == 1.0
+    assert st.step == 0
+    jax.tree.map(np.testing.assert_array_equal, before, st.full_params())
+
+
+def test_stream_grad_accum_mixed_label_kinds_raises():
+    cfg = _nojitter_cfg(num_hidden_layers=2)
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    st = StreamTrainer(cfg, params, learning_rate=1e-3, train_lm_head=True)
+    rng = np.random.default_rng(0)
+    b1 = _batch(cfg, rng)
+    b2 = _batch(cfg, rng)
+    b2["labels"] = jnp.asarray(
+        rng.integers(0, cfg.text_config.vocab_size, b2["input_ids"].shape),
+        jnp.int32)
+    with pytest.raises(ValueError):
+        st.train_step([b1, b2], jax.random.PRNGKey(0))
 
 
 def test_stream_text_labels_with_lm_head():

@@ -216,6 +216,70 @@ def test_nonfinite_step_is_skipped():
     assert int(state2.step) == 1
 
 
+def test_trainer_grad_accum_matches_single_step():
+    """grad_accum_steps=2 (optax.MultiSteps, the reference's
+    gradient_accumulation_steps): two identical micro-steps apply ONE
+    optimizer update equal to a k=1 step on that batch.  Jitter off +
+    constant aux weight make the forward deterministic in the batch."""
+    cfg = tiny_test_config(router_jitter_noise=0.0, input_jitter_noise=0.0,
+                           l_aux_weight=0.01, min_l_aux_weight=0.01)
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    kw = dict(remat=False, total_steps=8, warmup_steps=0, save_every=0,
+              log_every=1)
+    a = Trainer(cfg, jax.tree.map(jnp.array, params), TrainerConfig(**kw))
+    b = Trainer(cfg, jax.tree.map(jnp.array, params),
+                TrainerConfig(grad_accum_steps=2, **kw))
+    rng = np.random.default_rng(0)
+    batch = {k: jnp.asarray(v) for k, v in _codec_batch(cfg, rng).items()}
+
+    sa, ma = a._step_fn(a.state, batch, a.rng)
+
+    sb, m0 = b._step_fn(b.state, batch, b.rng)
+    # First micro-step: gradient banked, params untouched, counter advanced.
+    assert int(sb.step) == 1 and float(m0["skipped"]) == 0.0
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        params, sb.params)
+    sb, m1 = b._step_fn(sb, batch, b.rng)
+
+    for (path, x), (_, y) in zip(
+            jax.tree_util.tree_flatten_with_path(jax.tree.map(np.asarray, sa.params))[0],
+            jax.tree_util.tree_flatten_with_path(jax.tree.map(np.asarray, sb.params))[0]):
+        np.testing.assert_allclose(
+            x, y, atol=1e-6,
+            err_msg=f"accum drift at {jax.tree_util.keystr(path)}")
+
+
+def test_trainer_grad_accum_nan_micro_does_not_pollute_accumulator():
+    """A non-finite micro-step keeps the OLD MultiSteps accumulator and
+    holds the counter; the next good micro-batches still produce a clean
+    update."""
+    cfg = tiny_test_config(router_jitter_noise=0.0, input_jitter_noise=0.0,
+                           l_aux_weight=0.01, min_l_aux_weight=0.01)
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    tr = Trainer(cfg, jax.tree.map(jnp.array, params), TrainerConfig(
+        grad_accum_steps=2, remat=False, total_steps=8, warmup_steps=0,
+        save_every=0))
+    rng = np.random.default_rng(0)
+    good = {k: jnp.asarray(v) for k, v in _codec_batch(cfg, rng).items()}
+    bad = dict(good)
+    D = cfg.text_config.hidden_size
+    emb = np.zeros(np.asarray(good["input_ids"]).shape + (D,), np.float32)
+    emb[0, 0, 0] = np.nan
+    bad["inputs_embeds"] = jnp.asarray(emb)
+
+    s, m = tr._step_fn(tr.state, good, tr.rng)        # banks grad 1
+    s, m = tr._step_fn(s, bad, tr.rng)                # skipped entirely
+    assert float(m["skipped"]) == 1.0 and int(s.step) == 1
+    s, m = tr._step_fn(s, good, tr.rng)               # completes the pair
+    assert float(m["skipped"]) == 0.0 and int(s.step) == 2
+    # The update applied: params moved.
+    moved = any(
+        not np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree.leaves(params), jax.tree.leaves(s.params)))
+    assert moved
+
+
 def test_eval_loop_runs_and_is_deterministic():
     cfg = tiny_test_config()
     params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)

@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "memory, streamed per layer (train/stream.py — the "
                         "reference's ZeRO-2 offload_param+offload_optimizer "
                         "regime, deepspeed_zero2.conf:23-37)")
+    p.add_argument("--moment_dtype", choices=["float32", "int8"],
+                   default="float32",
+                   help="(with --param_offload) Adam-moment storage: int8 "
+                        "= blockwise log-quantized codes (8-bit optimizer, "
+                        "Dettmers et al. 2021) — ~4x less update-phase "
+                        "PCIe traffic at ~6%% relative moment error")
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + optimizer state over the data axis "
                         "(ZeRO/FSDP-equivalent of the reference's ZeRO-2 "
@@ -69,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", default="./output")
     p.add_argument("--num_train_epochs", type=float, default=1.0)
     p.add_argument("--per_device_train_batch_size", type=int, default=2)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1,
+                   help="micro-batches per optimizer update (reference "
+                        "training.sh:56; stream trainer accumulates fp32 "
+                        "grad sums in host memory, standard trainer wraps "
+                        "optax.MultiSteps)")
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--warmup_ratio", type=float, default=0.03)
@@ -195,7 +206,12 @@ def main(argv=None):
         model_max_length=args.model_max_length,
     )
 
-    steps_per_epoch = max(1, len(dataset) // args.per_device_train_batch_size)
+    gas = max(1, args.gradient_accumulation_steps)
+    # Stream trainer counts APPLIED optimizer steps; the standard trainer's
+    # step counter counts micro-steps (see TrainerConfig.grad_accum_steps).
+    per_step_batches = gas if args.param_offload else 1
+    steps_per_epoch = max(1, len(dataset) // (args.per_device_train_batch_size
+                                              * per_step_batches))
     total_steps = args.max_steps or int(steps_per_epoch * args.num_train_epochs)
 
     def batches():
@@ -228,12 +244,14 @@ def main(argv=None):
             learning_rate=sched,
             weight_decay=args.weight_decay,
             train_lm_head=True,
+            moment_dtype=args.moment_dtype,
         )
         if resume:
             print(f"resumed stream checkpoint at step {trainer.step}")
         os.makedirs(args.output_dir, exist_ok=True)
         logger = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
         rng = jax.random.PRNGKey(args.seed)
+        micro = []
         for batch in batches():
             if trainer.step >= total_steps:
                 break
@@ -241,8 +259,11 @@ def main(argv=None):
                 raise SystemExit(
                     "--param_offload does not support image samples; train "
                     "vision data through the standard trainer")
-            m = trainer.train_step(
-                {k: jnp.asarray(v) for k, v in batch.items()}, rng)
+            micro.append({k: jnp.asarray(v) for k, v in batch.items()})
+            if len(micro) < gas:
+                continue
+            m = trainer.train_step(micro if gas > 1 else micro[0], rng)
+            micro = []
             if trainer.step % args.logging_steps == 0 or m.get("skipped"):
                 logger.log(trainer.step, m)
             if args.save_steps and trainer.step > 0 \
@@ -291,6 +312,7 @@ def main(argv=None):
         ckpt_dir=os.path.join(args.output_dir, "checkpoints"),
         remat=args.gradient_checkpointing,
         seed=args.seed,
+        grad_accum_steps=gas,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     logger = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))

@@ -59,6 +59,7 @@ def make_optimizer(
     b2: float = 0.999,
     grad_clip: float = 1.0,
     trainable_pattern: Optional[str] = None,
+    grad_accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW + warmup-cosine/-linear decay (the reference's canonical recipe,
     UniMoEV2-Preview/script/training.sh:60-66 + deepspeed WarmupDecayLR).
@@ -67,7 +68,14 @@ def make_optimizer(
     params are FROZEN (no updates, no optimizer state) — the reference's
     set_trainable regex freeze (training_utils.py:93-118), e.g.
     'moe/gate|moe/fixed' for the stage-2 router+shared-experts curriculum
-    and 'moe/gate' for only_gate_training."""
+    and 'moe/gate' for only_gate_training.
+
+    grad_accum_steps>1 wraps the chain in optax.MultiSteps (the reference's
+    gradient_accumulation_steps, script/training.sh:56): micro-step
+    gradients accumulate as a running mean in the optimizer state and the
+    inner AdamW (incl. clipping and the lr schedule counter) applies once
+    every k calls.  Note the TrainState step counter counts MICRO-steps;
+    the schedule advances per applied update."""
     sched = make_lr_schedule(learning_rate, warmup_steps, total_steps, schedule)
     # No weight decay on norms/biases/gates (the reference's decay/no-decay
     # split, moe_trainer.py:295-310).
@@ -97,6 +105,9 @@ def make_optimizer(
         # Zero the FINAL update for frozen params (masked() alone would pass
         # their raw gradients through untouched).
         opt = optax.chain(opt, optax.masked(optax.set_to_zero(), frozen_mask))
+    if grad_accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=grad_accum_steps,
+                               use_grad_mean=True).gradient_transformation()
     return opt
 
 

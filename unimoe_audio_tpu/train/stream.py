@@ -137,10 +137,13 @@ class StreamTrainer:
         train_lm_head: bool = False,
         param_dtype=jnp.bfloat16,
         restore_dir: Optional[str] = None,
+        moment_dtype: str = "float32",
     ):
         tc = cfg.text_config
         if tc.has_sliding_layers:
             raise ValueError("StreamTrainer does not support sliding-window layers")
+        if moment_dtype not in ("float32", "int8"):
+            raise ValueError(f"moment_dtype must be float32|int8, got {moment_dtype}")
         self.cfg = cfg
         self.tc = tc
         self.L = tc.num_hidden_layers
@@ -152,6 +155,12 @@ class StreamTrainer:
         self.capacity = capacity
         self.use_flash = use_flash
         self.train_lm_head = train_lm_head
+        # Layer-moment storage format: 'int8' stores blockwise log-quantized
+        # codes + per-block absmax (train/qmoment.py), quartering the
+        # update phase's dominant fp32-moment PCIe round trip.  Outer
+        # (embedding/head) moments stay fp32 through OffloadAdamW — they
+        # are ~2% of the flagship's moment bytes.
+        self.moment_format = moment_dtype
         self.host = host_sharding()
         self._count = 0          # applied (non-skipped) steps
         self._layer_update_jit = None
@@ -218,18 +227,16 @@ class StreamTrainer:
                     mu_def, [put(x) for x in restored_meta["onu"]]),
                 count=jnp.int32(restored_meta["count"]))
 
-        # Layer moments: host fp32, FLAT per leaf, same tree structure as a
-        # layer's params.  (Loaded from the checkpoint on restore.)
+        # Layer moments: host-resident, FLAT per leaf, same tree structure
+        # as a layer's params (int8: each param leaf becomes a {'q','s'}
+        # codes+absmax pair).  (Loaded from the checkpoint on restore.)
         if restored_meta is None:
-            def zeros_like_flat(p):
-                z = jnp.zeros((int(np.prod(p.shape)) or 1,), jnp.float32)
-                return jax.device_put(z, self.host) if self.host is not None else z
-
+            zeros_mom = self._zeros_moment
             self.mu: List[Dict] = []
             self.nu: List[Dict] = []
             for l in range(self.L):
-                self.mu.append(jax.tree.map(zeros_like_flat, self.layers_host[l]))
-                self.nu.append(jax.tree.map(zeros_like_flat, self.layers_host[l]))
+                self.mu.append(jax.tree.map(zeros_mom, self.layers_host[l]))
+                self.nu.append(jax.tree.map(zeros_mom, self.layers_host[l]))
                 # Throttle: don't queue every layer's zero+transfer in HBM.
                 jax.block_until_ready(jax.tree.leaves(self.nu[l]))
 
@@ -270,6 +277,7 @@ class StreamTrainer:
             json.dump({"format": 1, "layers": self.L,
                        "count": int(self._count),
                        "optimizer": include_optimizer,
+                       "moment_dtype": self.moment_format,
                        "train_lm_head": "lm_head" in st.params}, f)
 
     def _load_from_dir(self, d: str, param_dtype) -> Dict:
@@ -282,17 +290,19 @@ class StreamTrainer:
             raise ValueError(
                 f"checkpoint was saved with train_lm_head="
                 f"{meta['train_lm_head']}; construct with the same setting")
+        ck_mom = meta.get("moment_dtype", "float32")
+        if meta["optimizer"] and ck_mom != self.moment_format:
+            raise ValueError(
+                f"checkpoint moments are {ck_mom}; construct with "
+                f"moment_dtype={ck_mom!r} (moment formats don't convert)")
         template = jax.eval_shape(
             lambda k: init_layer_params(k, self.tc, param_dtype),
             jax.random.PRNGKey(0))
         treedef = jax.tree.structure(template)
         n = treedef.num_leaves
+        n_m = n * self._moment_leaves_per_param()
         put = ((lambda x: jax.device_put(jnp.asarray(x), self.host))
                if self.host is not None else jnp.asarray)
-
-        def zeros_flat(p):
-            z = jnp.zeros((int(np.prod(p.shape)) or 1,), jnp.float32)
-            return jax.device_put(z, self.host) if self.host is not None else z
 
         self.layers_host, self.mu, self.nu = [], [], []
         for l in range(self.L):
@@ -302,13 +312,13 @@ class StreamTrainer:
                 treedef, [put(arrs[f"p{i}"]) for i in range(n)])
             self.layers_host.append(lp)
             if meta["optimizer"]:
-                self.mu.append(jax.tree.unflatten(
-                    treedef, [put(arrs[f"mu{i}"]) for i in range(n)]))
-                self.nu.append(jax.tree.unflatten(
-                    treedef, [put(arrs[f"nu{i}"]) for i in range(n)]))
+                self.mu.append(self._unflatten_moments(
+                    treedef, [put(arrs[f"mu{i}"]) for i in range(n_m)]))
+                self.nu.append(self._unflatten_moments(
+                    treedef, [put(arrs[f"nu{i}"]) for i in range(n_m)]))
             else:
-                self.mu.append(jax.tree.map(zeros_flat, lp))
-                self.nu.append(jax.tree.map(zeros_flat, lp))
+                self.mu.append(jax.tree.map(self._zeros_moment, lp))
+                self.nu.append(jax.tree.map(self._zeros_moment, lp))
             # Throttle host-transfer queueing, as in random init.
             jax.block_until_ready(jax.tree.leaves(self.layers_host[l]))
         with open(os.path.join(d, "outer.pkl"), "rb") as f:
@@ -320,6 +330,40 @@ class StreamTrainer:
                 "count": int(blob["count"])}
 
     # ------------------------------------------------------------------
+    def _zeros_moment(self, p):
+        """Zero moment storage for one param leaf (shape may be a
+        ShapeDtypeStruct).  Code 0 dequantizes to exactly 0, so int8 zero
+        init matches fp32 zero init bit-for-bit."""
+        n = int(np.prod(p.shape)) or 1
+        if self.moment_format == "int8":
+            from .qmoment import BLOCK, padded_len
+
+            npad = padded_len(n)
+            out = {"q": jnp.zeros((npad,), jnp.uint8),
+                   "s": jnp.zeros((npad // BLOCK,), jnp.float32)}
+        else:
+            out = jnp.zeros((n,), jnp.float32)
+        if self.host is not None:
+            out = jax.tree.map(lambda x: jax.device_put(x, self.host), out)
+        return out
+
+    def _quant_key(self) -> jax.Array:
+        """Stochastic-rounding base key for this step: a fixed seed folded
+        with the applied-step count — independent of the user rng, so
+        checkpoint-resume replays identically."""
+        return jax.random.fold_in(jax.random.PRNGKey(0x8B17), self._count)
+
+    def _moment_leaves_per_param(self) -> int:
+        return 2 if self.moment_format == "int8" else 1
+
+    def _unflatten_moments(self, treedef, leaves):
+        """Rebuild a layer's moment tree from its flat saved leaves (q/s
+        pairs for int8; one fp32 vector per param otherwise)."""
+        if self.moment_format == "int8":
+            leaves = [{"q": a, "s": b}
+                      for a, b in zip(leaves[0::2], leaves[1::2])]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
     def _to_host(self, tree):
         if self.host is None:
             return tree
@@ -392,11 +436,16 @@ class StreamTrainer:
 
         return self._jit("layer_fwd", f)
 
-    def _layer_bwd(self):
+    def _layer_bwd(self, mode: str = "single"):
+        """mode 'single': grads in param dtype (the one-micro-batch step).
+        mode 'first'/'acc': fp32 grads for gradient accumulation — 'first'
+        opens the running sum, 'acc' adds the previous sum (streamed back
+        from the host) before the squared-norm so the LAST micro-batch's
+        sq is the norm of the accumulated total."""
         tc = self.tc
         dm, cap, uf = self.dispatch_mode, self.capacity, self.use_flash
 
-        def f(lp, h_in, g_out, cos, sin, mask, abw, rng, aux_cot):
+        def core(lp, h_in, g_out, cos, sin, mask, abw, rng, aux_cot):
             def fwd2(lp, h):
                 h2, aux, _ = layer_apply(
                     lp, h, cos, sin, tc,
@@ -407,12 +456,38 @@ class StreamTrainer:
 
             _, vjp = jax.vjp(jax.checkpoint(fwd2), lp, h_in)
             g_lp, g_h = vjp((g_out, aux_cot))
-            sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
-                     for g in jax.tree.leaves(g_lp))
-            return g_h, g_lp, sq
+            return g_h, g_lp
 
-        # h_in and g_out are both [B, T, D] like the g_h output — donate.
-        return self._jit("layer_bwd", f, donate_argnums=(1, 2))
+        def sq_of(g_lp):
+            return sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                       for g in jax.tree.leaves(g_lp))
+
+        if mode == "single":
+            def f(lp, h_in, g_out, cos, sin, mask, abw, rng, aux_cot):
+                g_h, g_lp = core(lp, h_in, g_out, cos, sin, mask, abw,
+                                 rng, aux_cot)
+                return g_h, g_lp, sq_of(g_lp)
+
+            # h_in and g_out are both [B, T, D] like the g_h output — donate.
+            return self._jit("layer_bwd", f, donate_argnums=(1, 2))
+        if mode == "first":
+            def f(lp, h_in, g_out, cos, sin, mask, abw, rng, aux_cot):
+                g_h, g_lp = core(lp, h_in, g_out, cos, sin, mask, abw,
+                                 rng, aux_cot)
+                g_lp = jax.tree.map(lambda g: g.astype(jnp.float32), g_lp)
+                return g_h, g_lp, sq_of(g_lp)
+
+            return self._jit("layer_bwd_first", f, donate_argnums=(1, 2))
+        assert mode == "acc"
+
+        def f(lp, h_in, g_out, cos, sin, mask, abw, rng, aux_cot, g_prev):
+            g_h, g_lp = core(lp, h_in, g_out, cos, sin, mask, abw,
+                             rng, aux_cot)
+            g_lp = jax.tree.map(
+                lambda g, p: g.astype(jnp.float32) + p, g_lp, g_prev)
+            return g_h, g_lp, sq_of(g_lp)
+
+        return self._jit("layer_bwd_acc", f, donate_argnums=(1, 2, 9))
 
     def _head(self):
         cfg, tc, L = self.cfg, self.tc, self.L
@@ -483,13 +558,19 @@ class StreamTrainer:
     def _layer_update(self):
         """ONE program per layer updating every leaf: params/grads/moments
         stream host->device, update in fp32, results stream back with full
-        donation.  Same math as OffloadAdamW._update_fn."""
+        donation.  Same math as OffloadAdamW._update_fn; in int8 moment
+        mode the codes dequantize after the h2d stream and requantize
+        before the d2h stream (train/qmoment.py), so PCIe carries 1 byte
+        + 1/2048 scale per moment instead of 4."""
         if self._layer_update_jit is not None:
             return self._layer_update_jit
         host = self.host
         b1, b2, eps, wd_all = self.b1, self.b2, self.eps, self.weight_decay
+        int8 = self.moment_format == "int8"
+        if int8:
+            from .qmoment import dequantize_blockwise, padded_len, quantize_blockwise
 
-        def update(lp, g, mu, nu, scale, count, lr):
+        def update(lp, g, mu, nu, scale, count, lr, qkey):
             if host is not None:
                 from jax.sharding import NamedSharding
 
@@ -501,10 +582,18 @@ class StreamTrainer:
             flat_g = jax.tree.leaves(g)
             flat_mu = jax.tree.leaves(mu)
             flat_nu = jax.tree.leaves(nu)
+            if int8:  # leaves come in ('q', 's') pairs per param
+                flat_mu = list(zip(flat_mu[0::2], flat_mu[1::2]))
+                flat_nu = list(zip(flat_nu[0::2], flat_nu[1::2]))
             c = count.astype(jnp.float32)
             new_p, new_mu, new_nu = [], [], []
-            for (path, p), gg, m, v in zip(flat_p, flat_g, flat_mu, flat_nu):
+            for i, ((path, p), gg, m, v) in enumerate(
+                    zip(flat_p, flat_g, flat_mu, flat_nu)):
                 wd = wd_all if _is_decay(path) else 0.0
+                n_el = int(np.prod(p.shape)) or 1
+                if int8:
+                    m = dequantize_blockwise(m[0], m[1], signed=True)[:n_el]
+                    v = dequantize_blockwise(v[0], v[1], signed=False)[:n_el]
                 g32 = gg.reshape(-1).astype(jnp.float32) * scale
                 m = b1 * m + (1 - b1) * g32
                 v = b2 * v + (1 - b2) * g32 * g32
@@ -515,8 +604,21 @@ class StreamTrainer:
                 if wd:
                     upd = upd + wd * p32
                 new_p.append((p32 - lr * upd).astype(p.dtype).reshape(p.shape))
-                new_mu.append(m)
-                new_nu.append(v)
+                if int8:
+                    # Stochastic rounding keyed per (step, leaf): unbiased,
+                    # and deterministic across checkpoint-resume.
+                    pad = padded_len(n_el) - n_el
+                    mq, ms = quantize_blockwise(
+                        jnp.pad(m, (0, pad)), signed=True,
+                        key=jax.random.fold_in(qkey, 2 * i))
+                    vq, vs = quantize_blockwise(
+                        jnp.pad(v, (0, pad)), signed=False,
+                        key=jax.random.fold_in(qkey, 2 * i + 1))
+                    new_mu.append({"q": mq, "s": ms})
+                    new_nu.append({"q": vq, "s": vs})
+                else:
+                    new_mu.append(m)
+                    new_nu.append(v)
             unflat = lambda leaves: jax.tree_util.tree_unflatten(treedef, leaves)
             out_p, out_mu, out_nu = unflat(new_p), unflat(new_mu), unflat(new_nu)
             if host is not None:
@@ -528,19 +630,39 @@ class StreamTrainer:
         self._layer_update_jit = jax.jit(update, donate_argnums=(0, 1, 2, 3))
         return self._layer_update_jit
 
-    # ------------------------------------------------------------------
-    def train_step(self, batch: Dict, rng: jax.Array,
-                   aux_weight: Optional[float] = None) -> Dict[str, float]:
-        """One streamed training step.  Returns host metrics."""
-        cfg, L = self.cfg, self.L
-        aux_w = (aux_weight_at_step(cfg, jnp.int32(self._count))
-                 if aux_weight is None else jnp.float32(aux_weight))
-        step_rng = jax.random.fold_in(rng, self._count)
-        # Same per-layer key schedule as text_model_forward's scan.
-        layer_rngs = jax.random.split(step_rng, L)
+    # -- outer-grad accumulation programs (gradient accumulation) -------
+    def _outer_open(self):
+        return self._jit(
+            "outer_open",
+            lambda g: jax.tree.map(lambda x: x.astype(jnp.float32), g))
 
+    def _outer_acc(self):
+        return self._jit(
+            "outer_acc",
+            lambda acc, g: jax.tree.map(
+                lambda a, x: a + x.astype(jnp.float32), acc, g),
+            donate_argnums=(0,))
+
+    def _outer_sq(self):
+        return self._jit(
+            "outer_sq",
+            lambda acc: sum(jnp.sum(jnp.square(a))
+                            for a in jax.tree.leaves(acc)))
+
+    def _outer_div(self):
+        # The mean casts back to each param's dtype: OffloadAdamW.apply then
+        # reuses the single-path update programs (same signatures — the
+        # axon AOT compiler also rejects the fp32-grad variant with an
+        # 'Unimplemented DMA' error, so don't hand it one).
+        def f(acc, ref, n):
+            return jax.tree.map(
+                lambda a, p: (a / n).astype(p.dtype), acc, ref)
+
+        return self._jit("outer_div", f, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def _parse_batch(self, batch: Dict):
         input_ids = batch["input_ids"]
-        codec_ids = batch.get("codec_input_ids")
         mask = batch.get("attention_mask")
         if mask is None:
             mask = jnp.ones(input_ids.shape, jnp.int32)
@@ -548,28 +670,25 @@ class StreamTrainer:
         codec_labels = batch.get("codec_labels")
         if labels is None and codec_labels is None:
             raise ValueError("batch needs labels and/or codec_labels")
-        abw = batch.get("aux_balance_weight")
-        position_ids = batch.get("position_ids")
+        if labels is not None and "lm_head" not in self.outer_state.params:
+            raise ValueError(
+                "text labels require train_lm_head=True at construction")
+        return (input_ids, batch.get("codec_input_ids"), mask, labels,
+                codec_labels, batch.get("aux_balance_weight"),
+                batch.get("position_ids"))
 
-        outer = dict(self.outer_state.params)
-        ep = {"embed_tokens": outer["embed_tokens"],
-              "codec_embed": outer["codec_embed"]}
-        hp = {"norm": outer["norm"], "codec_head": outer["codec_head"]}
-        if labels is not None:
-            if "lm_head" not in outer:
-                raise ValueError(
-                    "text labels require train_lm_head=True at construction")
-            hp["lm_head"] = outer["lm_head"]
+    def _stream_fwd(self, ep, input_ids, codec_ids, mask, position_ids, abw,
+                    layer_rngs):
+        """Forward: stream layers, save boundary activations.
 
-        # ---- forward: stream layers, save boundaries ------------------
-        # Throttling (the block_until_ready calls below): async dispatch
-        # otherwise outruns PCIe and queues EVERY layer's weight transfer
-        # at once — 11+ GB of HBM for the 36L flagship — and, in the
-        # update phase, a second host-side copy of all params+moments
-        # (host buffers cannot be donation-aliased).  Blocking one step
-        # behind keeps a depth-2 pipeline: layer l computes while layer
-        # l+1's weights stream in, and at most ~2 layers of buffers are
-        # in flight on either side of PCIe.
+        Throttling (the block_until_ready calls below): async dispatch
+        otherwise outruns PCIe and queues EVERY layer's weight transfer
+        at once — 11+ GB of HBM for the 36L flagship — and, in the
+        update phase, a second host-side copy of all params+moments
+        (host buffers cannot be donation-aliased).  Blocking one step
+        behind keeps a depth-2 pipeline: layer l computes while layer
+        l+1's weights stream in, and at most ~2 layers of buffers are
+        in flight on either side of PCIe."""
         emb, cos, sin, full_abw = self._embed_fwd()(
             ep, input_ids, codec_ids, mask, position_ids, abw)
         fwd = self._layer_fwd()
@@ -578,8 +697,9 @@ class StreamTrainer:
         topk_sum = jnp.float32(0)
         h = emb
         lp_dev = self._to_device(self.layers_host[0])
-        for l in range(L):
-            nxt = self._to_device(self.layers_host[l + 1]) if l + 1 < L else None
+        for l in range(self.L):
+            nxt = (self._to_device(self.layers_host[l + 1])
+                   if l + 1 < self.L else None)
             boundaries.append(h)
             h, aux_l, topk_l = fwd(lp_dev, h, cos, sin, mask, full_abw,
                                    layer_rngs[l])
@@ -589,32 +709,96 @@ class StreamTrainer:
             lp_dev = nxt
             if l >= 1:
                 jax.block_until_ready(boundaries[l])  # layer l-1 done
+        return h, cos, sin, full_abw, boundaries, aux_sum, topk_sum
+
+    def _stream_bwd(self, boundaries, g_h, cos, sin, mask, full_abw,
+                    layer_rngs, aux_cot, mode, g_host):
+        """Backward: stream layers in reverse, grads to host.
+
+        mode 'single'/'first' writes fresh grads into g_host; 'acc'
+        streams the previous fp32 sums back through the device and writes
+        updated sums.  Returns (g at the embedding boundary, sum of the
+        per-layer sq outputs — in 'acc' mode the squared norm of the
+        RUNNING SUM, so the last micro-batch's value is the accumulated
+        total's)."""
+        L = self.L
+        bwd = self._layer_bwd(mode)
+        sq_layers = jnp.float32(0)
+        lp_dev = self._to_device(self.layers_host[L - 1])
+        gp_dev = self._to_device(g_host[L - 1]) if mode == "acc" else None
+        for l in range(L - 1, -1, -1):
+            nxt = self._to_device(self.layers_host[l - 1]) if l > 0 else None
+            nxt_gp = (self._to_device(g_host[l - 1])
+                      if mode == "acc" and l > 0 else None)
+            h_in = boundaries[l]
+            boundaries[l] = None
+            if mode == "acc":
+                g_h, g_lp, sq = bwd(lp_dev, h_in, g_h, cos, sin, mask,
+                                    full_abw, layer_rngs[l], aux_cot, gp_dev)
+            else:
+                g_h, g_lp, sq = bwd(lp_dev, h_in, g_h, cos, sin, mask,
+                                    full_abw, layer_rngs[l], aux_cot)
+            g_host[l] = self._to_host(g_lp)
+            del g_lp
+            sq_layers = sq_layers + sq
+            del lp_dev
+            lp_dev = nxt
+            gp_dev = nxt_gp
+            if l + 1 < L:
+                jax.block_until_ready(
+                    jax.tree.leaves(g_host[l + 1])[0])  # layer l+1 done
+        return g_h, sq_layers
+
+    # ------------------------------------------------------------------
+    def train_step(self, batch: Union[Dict, List[Dict]], rng: jax.Array,
+                   aux_weight: Optional[float] = None) -> Dict[str, float]:
+        """One streamed training step.  Returns host metrics.
+
+        `batch` may be a single batch dict or a sequence of micro-batch
+        dicts (gradient accumulation, the reference's
+        gradient_accumulation_steps flag, script/training.sh:56): each
+        micro-batch runs a full streamed forward/backward, fp32 gradient
+        SUMS accumulate in host memory, and ONE update phase applies the
+        clipped MEAN gradient — the ~4 GB/layer params+moments PCIe round
+        trip is paid once per applied step instead of once per
+        micro-batch, and the effective batch grows without growing the
+        [B, T, D] boundary-activation footprint."""
+        if isinstance(batch, (list, tuple)):
+            if len(batch) > 1:
+                return self._train_step_accum(list(batch), rng, aux_weight)
+            batch = batch[0]
+        cfg, L = self.cfg, self.L
+        aux_w = (aux_weight_at_step(cfg, jnp.int32(self._count))
+                 if aux_weight is None else jnp.float32(aux_weight))
+        step_rng = jax.random.fold_in(rng, self._count)
+        # Same per-layer key schedule as text_model_forward's scan.
+        layer_rngs = jax.random.split(step_rng, L)
+
+        (input_ids, codec_ids, mask, labels, codec_labels, abw,
+         position_ids) = self._parse_batch(batch)
+
+        outer = dict(self.outer_state.params)
+        ep = {"embed_tokens": outer["embed_tokens"],
+              "codec_embed": outer["codec_embed"]}
+        hp = {"norm": outer["norm"], "codec_head": outer["codec_head"]}
+        if labels is not None:
+            hp["lm_head"] = outer["lm_head"]
+
+        h, cos, sin, full_abw, boundaries, aux_sum, topk_sum = (
+            self._stream_fwd(ep, input_ids, codec_ids, mask, position_ids,
+                             abw, layer_rngs))
 
         # ---- head loss + gradient wrt final hidden --------------------
         loss, codec_loss, mean_aux, g_hp, g_h, sq_hp = self._head()(
             hp, h, codec_labels, labels, aux_sum, aux_w)
         del h
 
-        # ---- backward: stream layers in reverse, grads to host --------
-        bwd = self._layer_bwd()
         aux_cot = (aux_w / L).astype(jnp.float32)
         g_host: List[Dict] = [None] * L
-        sq_total = sq_hp
-        lp_dev = self._to_device(self.layers_host[L - 1])
-        for l in range(L - 1, -1, -1):
-            nxt = self._to_device(self.layers_host[l - 1]) if l > 0 else None
-            h_in = boundaries[l]
-            boundaries[l] = None
-            g_h, g_lp, sq = bwd(lp_dev, h_in, g_h, cos, sin, mask, full_abw,
-                                layer_rngs[l], aux_cot)
-            g_host[l] = self._to_host(g_lp)
-            del g_lp
-            sq_total = sq_total + sq
-            del lp_dev
-            lp_dev = nxt
-            if l + 1 < L:
-                jax.block_until_ready(
-                    jax.tree.leaves(g_host[l + 1])[0])  # layer l+1 done
+        g_h, sq_layers = self._stream_bwd(
+            boundaries, g_h, cos, sin, mask, full_abw, layer_rngs, aux_cot,
+            "single", g_host)
+        sq_total = sq_hp + sq_layers
 
         g_ep, sq_ep = self._embed_bwd()(ep, input_ids, codec_ids, g_h)
         del g_h
@@ -644,10 +828,11 @@ class StreamTrainer:
         scale = jnp.minimum(
             1.0, self.grad_clip / jnp.maximum(gnorm.astype(jnp.float32), 1e-12))
         upd = self._layer_update()
+        qstep = self._quant_key()
         for l in range(L):
             new_lp, new_mu, new_nu = upd(
                 self.layers_host[l], g_host[l], self.mu[l], self.nu[l],
-                scale, count, lr)
+                scale, count, lr, jax.random.fold_in(qstep, l))
             self.layers_host[l] = new_lp
             self.mu[l], self.nu[l] = new_mu, new_nu
             g_host[l] = None
@@ -664,6 +849,118 @@ class StreamTrainer:
             # no text labels: zero gradient, moments still decay.
             g_outer["lm_head"] = jnp.zeros_like(outer["lm_head"])
         self.outer_state = self.outer_opt.apply(self.outer_state, g_outer, gnorm)
+        self._count += 1
+        metrics["skipped"] = 0.0
+        return metrics
+
+    # ------------------------------------------------------------------
+    def _train_step_accum(self, batches: List[Dict], rng: jax.Array,
+                          aux_weight: Optional[float]) -> Dict[str, float]:
+        """Gradient-accumulated streamed step over `batches` micro-batches.
+
+        Per-layer fp32 gradient sums live in host memory between
+        micro-batches; micro-batch i>0 streams layer l's running sum back
+        through the device (donated into the new sum) while recomputing
+        that layer's vjp.  Grad semantics match a single step on the
+        concatenated batch up to the per-micro-batch normalization of the
+        CE/aux terms: the applied update uses the clipped MEAN gradient
+        (reference: HF/DeepSpeed gradient_accumulation_steps averaging)."""
+        cfg, L = self.cfg, self.L
+        n = len(batches)
+        aux_w = (aux_weight_at_step(cfg, jnp.int32(self._count))
+                 if aux_weight is None else jnp.float32(aux_weight))
+        step_rng = jax.random.fold_in(rng, self._count)
+        aux_cot = (aux_w / L).astype(jnp.float32)
+
+        outer = dict(self.outer_state.params)
+        ep = {"embed_tokens": outer["embed_tokens"],
+              "codec_embed": outer["codec_embed"]}
+
+        g_host: List[Optional[Dict]] = [None] * L
+        acc_outer = None
+        dev_metrics = []
+        sq_layers = jnp.float32(0)
+        has_labels: Optional[bool] = None
+        for i, b in enumerate(batches):
+            (input_ids, codec_ids, mask, labels, codec_labels, abw,
+             position_ids) = self._parse_batch(b)
+            if has_labels is None:
+                has_labels = labels is not None
+            elif (labels is not None) != has_labels:
+                raise ValueError(
+                    "micro-batches must agree on label kinds (text labels "
+                    "present in some but not all)")
+            hp = {"norm": outer["norm"], "codec_head": outer["codec_head"]}
+            if labels is not None:
+                hp["lm_head"] = outer["lm_head"]
+            # Distinct jitter keys per micro-batch (a bigger batch should
+            # sample more jitter, not repeat it).
+            layer_rngs = jax.random.split(
+                jax.random.fold_in(step_rng, i), L)
+
+            h, cos, sin, full_abw, boundaries, aux_sum, topk_sum = (
+                self._stream_fwd(ep, input_ids, codec_ids, mask,
+                                 position_ids, abw, layer_rngs))
+            loss, codec_loss, mean_aux, g_hp, g_h, _ = self._head()(
+                hp, h, codec_labels, labels, aux_sum, aux_w)
+            del h
+            g_h, sq_layers = self._stream_bwd(
+                boundaries, g_h, cos, sin, mask, full_abw, layer_rngs,
+                aux_cot, "first" if i == 0 else "acc", g_host)
+            g_ep, _ = self._embed_bwd()(ep, input_ids, codec_ids, g_h)
+            del g_h
+            g_outer = dict(g_ep)
+            g_outer.update(g_hp)
+            if acc_outer is None:
+                acc_outer = self._outer_open()(g_outer)
+            else:
+                acc_outer = self._outer_acc()(acc_outer, g_outer)
+            del g_outer, g_ep, g_hp
+            dev_metrics.append((loss, codec_loss, mean_aux, topk_sum))
+
+        # sq_layers is the last micro-batch's running-sum norm — the
+        # accumulated total's.  ||mean|| = ||sum|| / n.
+        gnorm_sum = jnp.sqrt(sq_layers + self._outer_sq()(acc_outer))
+        ms, gnorm_sum_v = jax.device_get((dev_metrics, gnorm_sum))
+        gnorm_v = float(gnorm_sum_v) / n
+        metrics = {
+            "loss": float(np.mean([m[0] for m in ms])),
+            "codec_loss": float(np.mean([m[1] for m in ms])),
+            "aux_loss": float(np.mean([m[2] for m in ms])),
+            "mean_top_k": float(np.mean([m[3] for m in ms])) / L,
+            "grad_norm": gnorm_v,
+            "micro_batches": float(n),
+        }
+        if not (np.isfinite(metrics["loss"]) and np.isfinite(gnorm_v)):
+            metrics["skipped"] = 1.0
+            del g_host, acc_outer
+            return metrics
+
+        # ---- update: stream per-layer AdamW on the MEAN gradient -------
+        count = jnp.int32(self._count + 1)
+        lr = jnp.asarray(self.lr(jnp.int32(self._count)), jnp.float32)
+        clip_scale = jnp.minimum(
+            1.0, self.grad_clip / jnp.maximum(jnp.float32(gnorm_v), 1e-12))
+        scale = clip_scale / n  # grads hold SUMS; apply the clipped mean
+        upd = self._layer_update()
+        qstep = self._quant_key()
+        for l in range(L):
+            new_lp, new_mu, new_nu = upd(
+                self.layers_host[l], g_host[l], self.mu[l], self.nu[l],
+                scale, count, lr, jax.random.fold_in(qstep, l))
+            self.layers_host[l] = new_lp
+            self.mu[l], self.nu[l] = new_mu, new_nu
+            g_host[l] = None
+            if l >= 1:
+                jax.block_until_ready(
+                    jax.tree.leaves(self.nu[l - 1])[0])  # layer l-1 landed
+
+        g_outer_mean = self._outer_div()(
+            acc_outer, {k: outer[k] for k in acc_outer}, jnp.float32(n))
+        if not has_labels and "lm_head" in outer:
+            g_outer_mean["lm_head"] = jnp.zeros_like(outer["lm_head"])
+        self.outer_state = self.outer_opt.apply(
+            self.outer_state, g_outer_mean, jnp.float32(gnorm_v))
         self._count += 1
         metrics["skipped"] = 0.0
         return metrics

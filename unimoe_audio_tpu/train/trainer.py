@@ -43,6 +43,12 @@ class TrainerConfig:
     dispatch_capacity: Optional[int] = None
     remat: bool = True
     seed: int = 0
+    # Micro-steps per optimizer update (the reference's
+    # gradient_accumulation_steps, script/training.sh:56).  >1 wraps the
+    # optimizer in optax.MultiSteps: fit() consumes one micro-batch per
+    # iteration and the inner AdamW applies every k-th; the step counter
+    # counts micro-steps (log/save cadences too).
+    grad_accum_steps: int = 1
     # Run a validation pass every N optimizer steps (0 = off) when fit()
     # receives eval_batches — the reference trainer's
     # _maybe_log_save_evaluate cadence (moe_trainer.py:728,746).
@@ -146,6 +152,7 @@ class Trainer:
             schedule=tcfg.schedule,
             grad_clip=tcfg.grad_clip,
             trainable_pattern=tcfg.trainable_pattern,
+            grad_accum_steps=tcfg.grad_accum_steps,
         )
         self.state = init_train_state(params, self.optimizer)
         self.logger = logger or MetricsLogger()
