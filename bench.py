@@ -107,12 +107,17 @@ def train_tokens_per_sec():
     return B * T / dt
 
 
-def stream_train_probe():
+def stream_train_probe(gas: int = 2, moment_dtype: str = "int8"):
     """FULL 36-layer flagship training on ONE chip via layer-streamed
     params + host-resident Adam moments (train/stream.py — the
     reference's ZeRO-2 param+optimizer CPU-offload regime,
     deepspeed_zero2.conf:23-37 offload_param/offload_optimizer).  Device
     residency is depth-independent; ~6.9B params train on 16 GB HBM.
+
+    Measured configuration: int8 blockwise-quantized moments
+    (train/qmoment.py, ~4x less update-phase PCIe) + gradient
+    accumulation over `gas` micro-batches (one params+moments round trip
+    per applied step — the reference's gradient_accumulation_steps).
     Runs as a bench subprocess (isolated HBM; one JSON line on stdout)."""
     import numpy as np
     import jax
@@ -125,7 +130,7 @@ def stream_train_probe():
     L = cfg.text_config.num_hidden_layers
     t0 = time.time()
     tr = StreamTrainer(cfg, rng=jax.random.PRNGKey(0), learning_rate=1e-4,
-                       grad_clip=1.0)
+                       grad_clip=1.0, moment_dtype=moment_dtype)
     n_params = sum(
         int(np.prod(x.shape))
         for lp in tr.layers_host for x in jax.tree.leaves(lp))
@@ -134,35 +139,47 @@ def stream_train_probe():
     init_s = time.time() - t0
     tr.outer_opt.precompile(tr.outer_state.params)
 
-    # B=8 measured best on the axon v5e: the ~30 s/step PCIe param+moment
+    # B=8 measured best on the axon v5e: the per-step PCIe param+moment
     # stream is batch-independent, so larger B amortizes it (B=4: 221
-    # tok/s, B=8: 371 tok/s).
+    # tok/s, B=8: 371 tok/s with fp32 moments / gas=1).
     B, T, C = 8, 2048, cfg.codec_channels
     rng = np.random.default_rng(0)
-    codec = rng.integers(0, cfg.codec_eos_value, size=(B, T, C)).astype(np.int32)
-    batch = {
-        "input_ids": jnp.full((B, T), cfg.codec_placeholder_value, jnp.int32),
-        "codec_input_ids": jnp.asarray(codec),
-        "attention_mask": jnp.ones((B, T), jnp.int32),
-        "codec_labels": jnp.asarray(codec),
-    }
+
+    def mk_batch(seed):
+        codec = np.random.default_rng(seed).integers(
+            0, cfg.codec_eos_value, size=(B, T, C)).astype(np.int32)
+        return {
+            "input_ids": jnp.full((B, T), cfg.codec_placeholder_value, jnp.int32),
+            "codec_input_ids": jnp.asarray(codec),
+            "attention_mask": jnp.ones((B, T), jnp.int32),
+            "codec_labels": jnp.asarray(codec),
+        }
+
+    micros = [mk_batch(i) for i in range(gas)]
+    step_in = micros if gas > 1 else micros[0]
     t0 = time.time()
-    m = tr.train_step(batch, jax.random.PRNGKey(1))  # compiles everything
+    m = tr.train_step(step_in, jax.random.PRNGKey(1))  # compiles everything
     _sync(tr)
     compile_s = time.time() - t0
     assert m["skipped"] == 0.0 and np.isfinite(m["loss"])
+    # The first 1-2 post-compile steps absorb the server-side async queue
+    # backlog (sync() blocks the step's critical path, not the whole
+    # queue) and can read 5-7x slower than steady state — time 4 and take
+    # the min of the last 3 (measured: 77 s drain step vs 11.5 s steady).
     times = []
-    for i in range(2):
+    for i in range(4):
         t0 = time.time()
-        m = tr.train_step(batch, jax.random.PRNGKey(2 + i))
+        m = tr.train_step(step_in, jax.random.PRNGKey(2 + i))
         _sync(tr)
         times.append(time.time() - t0)
-    dt = min(times)
+    dt = min(times[1:])
     print(json.dumps({
-        "full_train_tokens_per_sec": round(B * T / dt, 0),
+        "full_train_tokens_per_sec": round(gas * B * T / dt, 0),
         "full_train_layers": L,
         "full_train_params_b": round(n_params / 1e9, 2),
         "full_train_step_s": round(dt, 2),
+        "full_train_accum": gas,
+        "full_train_moment_dtype": moment_dtype,
         "full_train_init_s": round(init_s, 1),
         "full_train_compile_s": round(compile_s, 1),
         "full_train_final_loss": round(float(m["loss"]), 3),
@@ -177,12 +194,13 @@ def _sync(tr):
     jax.block_until_ready(jax.tree.leaves(tr.outer_state.params)[0])
 
 
-def deep_train_probe():
+def deep_train_probe(moment_dtype: str = "int8"):
     """12-layer flagship-WIDTH training on ONE chip via host-offloaded
-    fp32 Adam moments (train/offload.py — the reference's ZeRO-2 CPU
+    Adam moments (train/offload.py — the reference's ZeRO-2 CPU
     offload capability, deepspeed_zero2.conf:23-37).  3x the depth that
-    fits with device-resident moments.  Runs as a bench subprocess
-    (isolated HBM; prints one JSON line on stdout)."""
+    fits with device-resident moments; int8 blockwise-quantized moments
+    (train/qmoment.py) quarter the per-step moment PCIe stream.  Runs as
+    a bench subprocess (isolated HBM; prints one JSON line on stdout)."""
     import dataclasses
 
     import numpy as np
@@ -201,7 +219,8 @@ def deep_train_probe():
         jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     n_params = sum(x.size for x in jax.tree.leaves(params))
-    off = OffloadAdamW(learning_rate=1e-4, grad_clip=1.0)
+    off = OffloadAdamW(learning_rate=1e-4, grad_clip=1.0,
+                       moment_dtype=moment_dtype)
     n_progs = off.precompile(params)  # parallel remote compiles
     tr = OffloadTrainer(cfg, params, off, remat=True)
     del params
@@ -217,17 +236,18 @@ def deep_train_probe():
     m = tr.train_step(batch, jax.random.PRNGKey(1))  # compile step
     assert m["skipped"] == 0.0 and np.isfinite(m["loss"])
     times = []
-    for i in range(3):
+    for i in range(4):
         t0 = time.time()
         m = tr.train_step(batch, jax.random.PRNGKey(2 + i))
         float(np.asarray(jax.tree.leaves(tr.state.params)[0]).ravel()[0])
         times.append(time.time() - t0)
-    dt = min(times)  # first timed step may drain leftover async work
+    dt = min(times[1:])  # early steps drain leftover async queue backlog
     print(json.dumps({
         "deep_train_tokens_per_sec": round(B * T / dt, 0),
         "deep_train_layers": L,
         "deep_train_params_b": round(n_params / 1e9, 2),
         "deep_train_step_s": round(dt, 2),
+        "deep_train_moment_dtype": moment_dtype,
         "offload_update_programs": n_progs,
         "final_loss": round(float(m["loss"]), 3),
     }))
@@ -430,8 +450,14 @@ def main():
 
 if __name__ == "__main__":
     if "--deep-train" in sys.argv:
-        deep_train_probe()
+        mdt = sys.argv[sys.argv.index("--moments") + 1] \
+            if "--moments" in sys.argv else "int8"
+        deep_train_probe(moment_dtype=mdt)
     elif "--stream-train" in sys.argv:
-        stream_train_probe()
+        gas = int(sys.argv[sys.argv.index("--gas") + 1]) \
+            if "--gas" in sys.argv else 2
+        mdt = sys.argv[sys.argv.index("--moments") + 1] \
+            if "--moments" in sys.argv else "int8"
+        stream_train_probe(gas=gas, moment_dtype=mdt)
     else:
         main()

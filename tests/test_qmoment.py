@@ -95,10 +95,11 @@ def _cfg(**kw):
         router_jitter_noise=0.0, input_jitter_noise=0.0, **kw)
 
 
-def test_int8_moments_first_step_matches_fp32_loosely():
-    """Step 1 from zero moments: update = clip·lr·sign-ish(g); the int8
-    trainer's params move the same direction within the quantizer's ~6%
-    relative moment error."""
+def test_int8_moments_first_step_is_exact_then_tracks():
+    """Step 1 from zero moments is BIT-EXACT vs fp32 (zero codes dequantize
+    to exactly 0; the update math runs in fp32 before requantization —
+    quantization only affects the STORED state).  Step 2 then diverges
+    only within the quantizer's moment-error envelope."""
     cfg = _cfg(num_hidden_layers=2)
     params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     a = StreamTrainer(cfg, params, learning_rate=1e-3)
@@ -110,21 +111,25 @@ def test_int8_moments_first_step_matches_fp32_loosely():
     mb = b.train_step(batch, key)
     np.testing.assert_allclose(ma["loss"], mb["loss"], rtol=1e-6)
     np.testing.assert_allclose(ma["grad_norm"], mb["grad_norm"], rtol=1e-5)
-    pa, pb = a.full_params(), b.full_params()
-    base = jax.tree.map(np.asarray, params)
+    jax.tree.map(np.testing.assert_array_equal,
+                 a.full_params(), b.full_params())
+
+    # Step 2 consumes quantized step-1 moments: bounded relative drift.
+    p1 = a.full_params()
+    ma2 = a.train_step(batch, key)
+    mb2 = b.train_step(batch, key)
+    np.testing.assert_allclose(ma2["loss"], mb2["loss"], rtol=1e-5)
     for (path, x), (_, y), (_, p0) in zip(
-            jax.tree_util.tree_flatten_with_path(pa)[0],
-            jax.tree_util.tree_flatten_with_path(pb)[0],
-            jax.tree_util.tree_flatten_with_path(base)[0]):
+            jax.tree_util.tree_flatten_with_path(a.full_params())[0],
+            jax.tree_util.tree_flatten_with_path(b.full_params())[0],
+            jax.tree_util.tree_flatten_with_path(p1)[0]):
         da, db = x - p0, y - p0
-        denom = np.maximum(np.abs(da), 1e-12)
         if not np.any(da):
-            np.testing.assert_array_equal(da, db)
             continue
-        # Update deltas agree within the quantizer's half-step bound (the
-        # Adam ratio mu/sqrt(nu) carries ~6%+3% worst-case moment error).
-        assert np.max(np.abs(db - da) / denom) < 0.15, \
-            jax.tree_util.keystr(path)
+        # Relative delta error bounded by the Adam-ratio error from ~6%
+        # moment noise (+ SR spread); 25% is a loose structural bound.
+        err = np.abs(db - da) / np.maximum(np.max(np.abs(da)), 1e-12)
+        assert np.max(err) < 0.25, jax.tree_util.keystr(path)
 
 
 def test_int8_moments_train_and_checkpoint_round_trip(tmp_path):
@@ -171,3 +176,45 @@ def test_bad_moment_dtype_rejected():
     cfg = _cfg(num_hidden_layers=2)
     with pytest.raises(ValueError):
         StreamTrainer(cfg, rng=jax.random.PRNGKey(0), moment_dtype="fp8")
+    from unimoe_audio_tpu.train.offload import OffloadAdamW
+
+    with pytest.raises(ValueError):
+        OffloadAdamW(learning_rate=1e-3, moment_dtype="fp8")
+
+
+def test_offload_adamw_int8_first_step_exact_then_trains():
+    """OffloadAdamW with int8 moments: step 1 is bit-exact vs fp32 (zero
+    codes dequantize to exactly 0; update math in fp32 pre-requantize);
+    subsequent steps keep training."""
+    from unimoe_audio_tpu.train.offload import OffloadAdamW, OffloadTrainer
+
+    cfg = _cfg(num_hidden_layers=2)
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    copy = lambda: jax.tree.map(jnp.array, params)
+    a = OffloadTrainer(cfg, copy(),
+                       OffloadAdamW(learning_rate=1e-3), remat=False)
+    b = OffloadTrainer(cfg, copy(),
+                       OffloadAdamW(learning_rate=1e-3, moment_dtype="int8"),
+                       remat=False)
+    rng = np.random.default_rng(0)
+    batch = _batch(cfg, rng)
+    key = jax.random.PRNGKey(7)
+    ma = a.train_step(batch, key)
+    mb = b.train_step(batch, key)
+    np.testing.assert_allclose(ma["loss"], mb["loss"], rtol=1e-6)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y)),
+        a.state.params, b.state.params)
+
+    losses = [b.train_step(batch, key)["loss"] for _ in range(5)]
+    assert losses[-1] < mb["loss"]
+
+
+def test_offload_adamw_int8_precompile():
+    from unimoe_audio_tpu.train.offload import OffloadAdamW
+
+    cfg = _cfg(num_hidden_layers=2)
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    off = OffloadAdamW(learning_rate=1e-3, moment_dtype="int8")
+    assert off.precompile(params) > 0

@@ -219,6 +219,31 @@ def test_stream_cli_param_offload_end_to_end(tmp_path):
     assert meta["count"] == 3
 
 
+def test_stream_evaluate_forward_only():
+    """evaluate(): params untouched, deterministic, and (jitter off) the
+    eval loss matches the training loss on the same params/batch."""
+    cfg = _nojitter_cfg(num_hidden_layers=2)
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    st = StreamTrainer(cfg, params, learning_rate=1e-3)
+    rng = np.random.default_rng(0)
+    b1, b2 = _batch(cfg, rng), _batch(cfg, rng)
+    before = st.full_params()
+    em1 = st.evaluate([b1, b2])
+    em2 = st.evaluate([b1, b2])
+    assert em1 == em2
+    assert np.isfinite(em1["eval_loss"])
+    assert st.step == 0
+    jax.tree.map(np.testing.assert_array_equal, before, st.full_params())
+    # Same params, same batch, jitter off: training-step loss == eval loss.
+    m = st.train_step(b1, jax.random.PRNGKey(1))
+    st2 = StreamTrainer(cfg, params, learning_rate=1e-3)
+    em_b1 = st2.evaluate([b1])
+    np.testing.assert_allclose(m["loss"], em_b1["eval_loss"], rtol=1e-4)
+    assert em1["eval_loss"] == pytest.approx(
+        (st2.evaluate([b1])["eval_loss"] + st2.evaluate([b2])["eval_loss"]) / 2,
+        rel=1e-6)
+
+
 def test_stream_cli_grad_accum(tmp_path):
     """`--param_offload --gradient_accumulation_steps 2`: micro-batches
     group into one applied step each."""
@@ -234,7 +259,7 @@ def test_stream_cli_grad_accum(tmp_path):
     os.makedirs(model_dir)
     cfg.save_json(os.path.join(model_dir, "config.json"))
     data_path = str(tmp_path / "ds")
-    build(data_path, n=8, with_images=False)
+    build(data_path, n=10, with_images=False)
     out_dir = str(tmp_path / "out")
 
     assert main([
@@ -248,6 +273,9 @@ def test_stream_cli_grad_accum(tmp_path):
         "--logging_steps", "1",
         "--save_steps", "0",
         "--model_max_length", "64",
+        # 10 samples -> 2 eval hold-outs + 8 train = 4 micro / 2 applied.
+        "--eval_ratio", "0.2",
+        "--eval_steps", "2",
     ]) == 0
     import json as _json
 
@@ -255,7 +283,11 @@ def test_stream_cli_grad_accum(tmp_path):
     assert done["steps"] == 2  # 4 micro-batches -> 2 applied steps
     rows = [_json.loads(l) for l in
             open(os.path.join(out_dir, "metrics.jsonl"))]
-    assert all(r["micro_batches"] == 2.0 for r in rows)
+    train_rows = [r for r in rows if "micro_batches" in r]
+    assert all(r["micro_batches"] == 2.0 for r in train_rows)
+    evals = [r for r in rows if "eval_loss" in r]
+    assert evals and all(np.isfinite(r["eval_loss"]) for r in evals), \
+        "stream CLI --eval_ratio produced no eval rows"
 
 
 def test_stream_text_labels_requires_lm_head():

@@ -117,7 +117,8 @@ def test_train_cli_end_to_end_with_images(tmp_path):
     model_dir = str(tmp_path / "model")
     os.makedirs(model_dir)
     cfg.save_json(os.path.join(model_dir, "config.json"))
-    data_path = _image_dataset(tmp_path)
+    # 5 samples: 1 eval hold-out + 4 train = 2 steps at batch size 2.
+    data_path = _image_dataset(tmp_path, n=5)
     out_dir = str(tmp_path / "out")
 
     rc = main([
@@ -130,11 +131,19 @@ def test_train_cli_end_to_end_with_images(tmp_path):
         "--logging_steps", "1",
         "--save_steps", "0",
         "--model_max_length", "128",
+        "--eval_ratio", "0.25",
+        "--eval_steps", "1",
     ])
     assert rc == 0
     assert os.path.isfile(os.path.join(out_dir, "train_done.json"))
-    lines = open(os.path.join(out_dir, "metrics.jsonl")).read().strip().splitlines()
-    assert lines, "no metrics logged"
+    import json as _json
+
+    rows = [_json.loads(l) for l in
+            open(os.path.join(out_dir, "metrics.jsonl")).read().splitlines()]
+    assert rows, "no metrics logged"
+    evals = [r for r in rows if "eval_loss" in r]
+    assert evals and all(np.isfinite(r["eval_loss"]) for r in evals), \
+        "--eval_ratio/--eval_steps produced no eval rows"
 
 
 def test_vision_tower_gradients_flow_from_dataset_batch(tmp_path):

@@ -90,6 +90,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aux_balance_weight", type=float, default=10.0)
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--logging_steps", type=int, default=10)
+    p.add_argument("--eval_ratio", type=float, default=0.0,
+                   help="fraction of the dataset held out for validation "
+                        "(tail split; 0 disables). Evaluated every "
+                        "--eval_steps via the trainers' forward-only "
+                        "evaluate() (the reference trainer's "
+                        "_maybe_log_save_evaluate, moe_trainer.py:728,746)")
+    p.add_argument("--eval_steps", type=int, default=0,
+                   help="run validation every N optimizer steps (0 = only "
+                        "at the end of training when --eval_ratio > 0)")
     p.add_argument("--gradient_checkpointing", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_steps", type=int, default=None)
@@ -206,21 +215,35 @@ def main(argv=None):
         model_max_length=args.model_max_length,
     )
 
+    # --- train/eval split (tail hold-out; reference eval_dataset wiring) --
+    bs = args.per_device_train_batch_size
+    n_eval = 0
+    if args.eval_ratio > 0:
+        n_eval = max(1, int(len(dataset) * args.eval_ratio))
+        n_eval = min(n_eval, max(0, len(dataset) - bs))  # keep ≥1 train batch
+    n_train = len(dataset) - n_eval
+    eval_batches = None
+    if n_eval:
+        ebs = min(bs, n_eval)
+        eval_batches = [
+            collator([dataset[int(j)] for j in range(i, i + ebs)])
+            for i in range(n_train, len(dataset) - ebs + 1, ebs)
+        ]
+        print(f"eval hold-out: {n_eval} samples → {len(eval_batches)} batches")
+
     gas = max(1, args.gradient_accumulation_steps)
     # Stream trainer counts APPLIED optimizer steps; the standard trainer's
     # step counter counts micro-steps (see TrainerConfig.grad_accum_steps).
     per_step_batches = gas if args.param_offload else 1
-    steps_per_epoch = max(1, len(dataset) // (args.per_device_train_batch_size
-                                              * per_step_batches))
+    steps_per_epoch = max(1, n_train // (bs * per_step_batches))
     total_steps = args.max_steps or int(steps_per_epoch * args.num_train_epochs)
 
     def batches():
         rng = np.random.default_rng(args.seed)
         for _ in range(int(args.num_train_epochs)):
-            order = rng.permutation(len(dataset))
-            for i in range(0, len(order) - args.per_device_train_batch_size + 1,
-                           args.per_device_train_batch_size):
-                idx = order[i : i + args.per_device_train_batch_size]
+            order = rng.permutation(n_train)
+            for i in range(0, len(order) - bs + 1, bs):
+                idx = order[i : i + bs]
                 yield collator([dataset[int(j)] for j in idx])
 
     # --- layer-streamed full-offload training ----------------------------
@@ -250,6 +273,11 @@ def main(argv=None):
             print(f"resumed stream checkpoint at step {trainer.step}")
         os.makedirs(args.output_dir, exist_ok=True)
         logger = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
+        if eval_batches is not None and any(
+                "pixel_values" in b for b in eval_batches):
+            raise SystemExit(
+                "--param_offload does not support image samples; train "
+                "vision data through the standard trainer")
         rng = jax.random.PRNGKey(args.seed)
         micro = []
         for batch in batches():
@@ -266,9 +294,15 @@ def main(argv=None):
             micro = []
             if trainer.step % args.logging_steps == 0 or m.get("skipped"):
                 logger.log(trainer.step, m)
+            if args.eval_steps and eval_batches is not None \
+                    and trainer.step > 0 \
+                    and trainer.step % args.eval_steps == 0:
+                logger.log(trainer.step, trainer.evaluate(eval_batches))
             if args.save_steps and trainer.step > 0 \
                     and trainer.step % args.save_steps == 0:
                 trainer.save(ckpt_dir)
+        if eval_batches is not None:
+            logger.log(trainer.step, trainer.evaluate(eval_batches))
         trainer.save(ckpt_dir)
         with open(os.path.join(args.output_dir, "train_done.json"), "w") as f:
             json.dump({"steps": int(trainer.step)}, f)
@@ -313,11 +347,13 @@ def main(argv=None):
         remat=args.gradient_checkpointing,
         seed=args.seed,
         grad_accum_steps=gas,
+        # 0 with a hold-out still evaluates once at the end of fit().
+        eval_every=args.eval_steps or (total_steps if eval_batches else 0),
     )
     os.makedirs(args.output_dir, exist_ok=True)
     logger = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
     trainer = Trainer(cfg, params, tcfg, logger=logger)
-    trainer.fit(batches(), max_steps=args.max_steps)
+    trainer.fit(batches(), max_steps=args.max_steps, eval_batches=eval_batches)
     with open(os.path.join(args.output_dir, "train_done.json"), "w") as f:
         json.dump({"steps": int(trainer.state.step)}, f)
     return 0

@@ -106,12 +106,19 @@ class OffloadAdamW:
         weight_decay: float = 0.0,
         grad_clip: float = 1.0,
         chunk_bytes: int = 512 << 20,
+        moment_dtype: str = "float32",
     ):
+        if moment_dtype not in ("float32", "int8"):
+            raise ValueError(f"moment_dtype must be float32|int8, got {moment_dtype}")
         self.lr = learning_rate if callable(learning_rate) else (lambda c: learning_rate)
         self.b1, self.b2, self.eps = b1, b2, eps
         self.weight_decay = weight_decay
         self.grad_clip = grad_clip
         self.chunk_bytes = chunk_bytes
+        # 'int8': moments stream as blockwise log-quantized codes + absmax
+        # (train/qmoment.py) — 4x less PCIe per chunk; stochastic rounding
+        # keyed on (count, chunk) keeps runs deterministic.
+        self.moment_format = moment_dtype
         self._update_jit: Dict[bool, Callable] = {}
         self.host = host_sharding()
 
@@ -122,6 +129,10 @@ class OffloadAdamW:
         device transient = one chunk."""
         host = self.host
 
+        int8 = self.moment_format == "int8"
+        if int8:
+            from .qmoment import BLOCK, padded_len
+
         def zeros_chunks(p):
             # Moments are stored FLAT (1-D) per chunk: AdamW is elementwise,
             # and flat chunks let leaves with equal element counts share one
@@ -130,8 +141,15 @@ class OffloadAdamW:
             out = []
             for a, b in _chunk_bounds(p.shape, self.chunk_bytes):
                 n = (b - a) * rest if p.ndim else 1
-                z = jnp.zeros((n,), jnp.float32)
-                out.append(jax.device_put(z, host) if host is not None else z)
+                if int8:
+                    npad = padded_len(n)
+                    z = {"q": jnp.zeros((npad,), jnp.uint8),
+                         "s": jnp.zeros((npad // BLOCK,), jnp.float32)}
+                else:
+                    z = jnp.zeros((n,), jnp.float32)
+                if host is not None:
+                    z = jax.tree.map(lambda x: jax.device_put(x, host), z)
+                out.append(z)
                 del z
             return out
 
@@ -148,20 +166,29 @@ class OffloadAdamW:
         host = self.host
         b1, b2, eps = self.b1, self.b2, self.eps
         wd = self.weight_decay if is_decay else 0.0
+        int8 = self.moment_format == "int8"
+        if int8:
+            from .qmoment import dequantize_blockwise, padded_len, quantize_blockwise
 
-        def update(p, g, mu_h, nu_h, scale, count, lr):
-            # p/g arrive in their natural (chunk) shape; moments are flat.
-            # The flatten happens INSIDE the program (fused, no eager temp
-            # copies) and new_p returns in p's shape.
+        def update(p, g, mu_h, nu_h, scale, count, lr, qkey):
+            # p/g arrive in their natural (chunk) shape; moments are flat
+            # (int8: {'q','s'} code/absmax pairs).  The flatten happens
+            # INSIDE the program (fused, no eager temp copies) and new_p
+            # returns in p's shape.
             if host is not None:
                 from jax.sharding import NamedSharding
 
                 dev_s = NamedSharding(host.mesh, host.spec)
-                mu = jax.device_put(mu_h, dev_s)
-                nu = jax.device_put(nu_h, dev_s)
+                put_d = lambda t: jax.tree.map(
+                    lambda x: jax.device_put(x, dev_s), t)
+                mu, nu = put_d(mu_h), put_d(nu_h)
             else:
                 mu, nu = mu_h, nu_h
             g32 = g.reshape(-1).astype(jnp.float32) * scale
+            n = g32.shape[0]
+            if int8:
+                mu = dequantize_blockwise(mu["q"], mu["s"], signed=True)[:n]
+                nu = dequantize_blockwise(nu["q"], nu["s"], signed=False)[:n]
             mu = b1 * mu + (1 - b1) * g32
             nu = b2 * nu + (1 - b2) * g32 * g32
             c = count.astype(jnp.float32)
@@ -172,9 +199,20 @@ class OffloadAdamW:
             if wd:
                 upd = upd + wd * p32
             new_p = (p32 - lr * upd).astype(p.dtype).reshape(p.shape)
+            if int8:
+                pad = padded_len(n) - n
+                mq, ms = quantize_blockwise(
+                    jnp.pad(mu, (0, pad)), signed=True,
+                    key=jax.random.fold_in(qkey, 0))
+                vq, vs = quantize_blockwise(
+                    jnp.pad(nu, (0, pad)), signed=False,
+                    key=jax.random.fold_in(qkey, 1))
+                mu = {"q": mq, "s": ms}
+                nu = {"q": vq, "s": vs}
             if host is not None:
-                mu = jax.device_put(mu, host)
-                nu = jax.device_put(nu, host)
+                put_h = lambda t: jax.tree.map(
+                    lambda x: jax.device_put(x, host), t)
+                mu, nu = put_h(mu), put_h(nu)
             return new_p, mu, nu
 
         fn = jax.jit(update, donate_argnums=(0, 1, 2, 3))
@@ -204,6 +242,11 @@ class OffloadAdamW:
         count = jnp.int32(1)
         lr = jnp.float32(0.0)
 
+        int8 = self.moment_format == "int8"
+        if int8:
+            from .qmoment import BLOCK, padded_len
+        qkey = jax.random.PRNGKey(0)
+
         def compile_one(sig):
             # Warm via a real call on donated dummies — guaranteed to land
             # in the jit dispatch cache (AOT lower/compile does not).
@@ -211,14 +254,20 @@ class OffloadAdamW:
             fn = self._update_fn(decay)
             p_d = jnp.zeros(cshape, dtype)
             g_d = jnp.zeros(cshape, dtype)
-            m_d = jnp.zeros((n,), jnp.float32)
-            nu_d = jnp.zeros((n,), jnp.float32)
+            if int8:
+                npad = padded_len(n)
+                m_d = {"q": jnp.zeros((npad,), jnp.uint8),
+                       "s": jnp.zeros((npad // BLOCK,), jnp.float32)}
+                nu_d = jax.tree.map(jnp.copy, m_d)
+            else:
+                m_d = jnp.zeros((n,), jnp.float32)
+                nu_d = jnp.zeros((n,), jnp.float32)
             if host is not None:
-                m_d = jax.device_put(m_d, host)
-                nu_d = jax.device_put(nu_d, host)
-            out = fn(p_d, g_d, m_d, nu_d, scale, count, lr)
+                m_d = jax.tree.map(lambda x: jax.device_put(x, host), m_d)
+                nu_d = jax.tree.map(lambda x: jax.device_put(x, host), nu_d)
+            out = fn(p_d, g_d, m_d, nu_d, scale, count, lr, qkey)
             jax.block_until_ready(out)
-            for x in out:
+            for x in jax.tree.leaves(out):
                 x.delete()
 
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
@@ -237,6 +286,10 @@ class OffloadAdamW:
         scale = jnp.minimum(1.0, self.grad_clip / gnorm)
         # optax scale_by_schedule consumes the PRE-increment count.
         lr = jnp.asarray(self.lr(state.count), jnp.float32)
+        # Stochastic-rounding base key: fixed seed x step count, folded with
+        # a running chunk index inside the loop (deterministic on resume).
+        qstep = jax.random.fold_in(jax.random.PRNGKey(0x8B17), state.count)
+        chunk_no = 0
 
         flat_p, treedef = jax.tree_util.tree_flatten_with_path(state.params)
         flat_g = jax.tree_util.tree_leaves(grads)
@@ -255,14 +308,18 @@ class OffloadAdamW:
             bounds = _chunk_bounds(p.shape, self.chunk_bytes)
             assert len(bounds) == len(mus), "moment chunking drifted"
             if len(bounds) == 1:
-                np_, nmu, nnu = fn(p, g, mus[0], nus[0], scale, count, lr)
+                np_, nmu, nnu = fn(p, g, mus[0], nus[0], scale, count, lr,
+                                   jax.random.fold_in(qstep, chunk_no))
+                chunk_no += 1
                 new_p.append(np_)
                 new_mu.append([nmu]); new_nu.append([nnu])
             else:
                 ps, nmu, nnu = [], [], []
                 for (a, b), mu_c, nu_c in zip(bounds, mus, nus):
                     cp, cmu, cnu = fn(p[a:b], g[a:b], mu_c, nu_c,
-                                      scale, count, lr)
+                                      scale, count, lr,
+                                      jax.random.fold_in(qstep, chunk_no))
+                    chunk_no += 1
                     ps.append(cp)
                     nmu.append(cmu); nnu.append(cnu)
                 # Originals were only sliced (not donated) — free them

@@ -489,7 +489,9 @@ class StreamTrainer:
 
         return self._jit("layer_bwd_acc", f, donate_argnums=(1, 2, 9))
 
-    def _head(self):
+    def _head_loss(self, hp, h, codec_labels, labels, aux_sum, aux_w):
+        """Head loss math shared by training (_head's value_and_grad) and
+        the forward-only evaluate() path."""
         cfg, tc, L = self.cfg, self.tc, self.L
         from ..ops.quant import matmul as qmm
 
@@ -529,9 +531,12 @@ class StreamTrainer:
                 loss = loss + codec_loss
             return loss, (codec_loss, mean_aux)
 
+        return loss_of(hp, h, codec_labels, labels, aux_sum, aux_w)
+
+    def _head(self):
         def f(hp, h, codec_labels, labels, aux_sum, aux_w):
             (loss, (codec_loss, mean_aux)), (g_hp, g_h) = jax.value_and_grad(
-                loss_of, argnums=(0, 1), has_aux=True)(
+                self._head_loss, argnums=(0, 1), has_aux=True)(
                 hp, h, codec_labels, labels, aux_sum, aux_w)
             sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
                      for g in jax.tree.leaves(g_hp))
@@ -725,16 +730,27 @@ class StreamTrainer:
         bwd = self._layer_bwd(mode)
         sq_layers = jnp.float32(0)
         lp_dev = self._to_device(self.layers_host[L - 1])
-        gp_dev = self._to_device(g_host[L - 1]) if mode == "acc" else None
         for l in range(L - 1, -1, -1):
             nxt = self._to_device(self.layers_host[l - 1]) if l > 0 else None
-            nxt_gp = (self._to_device(g_host[l - 1])
-                      if mode == "acc" and l > 0 else None)
             h_in = boundaries[l]
             boundaries[l] = None
             if mode == "acc":
+                gp_dev = self._to_device(g_host[l])
+                if self.host is not None:
+                    # Free the host-side sums the moment their device copy
+                    # lands: the pinned pool otherwise holds TWO fp32-sum
+                    # generations in flight, and past ~40 GB of pinned
+                    # allocations the d2h stream collapses to ~1.3 GB/s
+                    # (measured at 36L flagship — the block also means no
+                    # second-generation prefetch, a ~0.1 s/layer stall
+                    # that is far cheaper than the collapse).
+                    jax.block_until_ready(jax.tree.leaves(gp_dev))
+                    for x in jax.tree.leaves(g_host[l]):
+                        x.delete()
+                g_host[l] = None
                 g_h, g_lp, sq = bwd(lp_dev, h_in, g_h, cos, sin, mask,
                                     full_abw, layer_rngs[l], aux_cot, gp_dev)
+                del gp_dev
             else:
                 g_h, g_lp, sq = bwd(lp_dev, h_in, g_h, cos, sin, mask,
                                     full_abw, layer_rngs[l], aux_cot)
@@ -743,7 +759,6 @@ class StreamTrainer:
             sq_layers = sq_layers + sq
             del lp_dev
             lp_dev = nxt
-            gp_dev = nxt_gp
             if l + 1 < L:
                 jax.block_until_ready(
                     jax.tree.leaves(g_host[l + 1])[0])  # layer l+1 done
@@ -966,6 +981,74 @@ class StreamTrainer:
         return metrics
 
     # ------------------------------------------------------------------
+    def evaluate(self, batches, max_batches: Optional[int] = None
+                 ) -> Dict[str, float]:
+        """Forward-only validation pass over `batches` (the reference
+        trainer's _maybe_log_save_evaluate loop, moe_trainer.py:728,746,
+        for the param-offload regime): streams layers without saving
+        boundaries or grads, eval-mode MoE (no jitter), params untouched.
+        Returns mean eval_ metrics."""
+        cfg, L = self.cfg, self.L
+        if "eval_layer" not in self._jits:
+            tc = self.tc
+            dm, cap, uf = self.dispatch_mode, self.capacity, self.use_flash
+
+            def f(lp, h, cos, sin, mask, abw):
+                return layer_apply(
+                    lp, h, cos, sin, tc,
+                    kv_valid_mask=mask, padding_token_mask=mask,
+                    aux_balance_weight=abw, rng=None, training=False,
+                    dispatch_mode=dm, capacity=cap, use_flash=uf)
+
+            def head_loss(hp, h, codec_labels, labels, aux_sum, aux_w):
+                # Reuse the training head's loss closure via value_and_grad-
+                # free evaluation: identical math path (fp32 CE).
+                return self._head_loss(hp, h, codec_labels, labels,
+                                       aux_sum, aux_w)
+
+            self._jits["eval_layer"] = jax.jit(f)
+            self._jits["eval_head"] = jax.jit(head_loss)
+        fwd = self._jits["eval_layer"]
+        sums: Dict[str, float] = {}
+        n = 0
+        aux_w = aux_weight_at_step(cfg, jnp.int32(self._count))
+        outer = dict(self.outer_state.params)
+        ep = {"embed_tokens": outer["embed_tokens"],
+              "codec_embed": outer["codec_embed"]}
+        for j, batch in enumerate(batches):
+            if max_batches is not None and j >= max_batches:
+                break
+            (input_ids, codec_ids, mask, labels, codec_labels, abw,
+             position_ids) = self._parse_batch(batch)
+            hp = {"norm": outer["norm"], "codec_head": outer["codec_head"]}
+            if labels is not None:
+                hp["lm_head"] = outer["lm_head"]
+            emb, cos, sin, full_abw = self._embed_fwd()(
+                ep, input_ids, codec_ids, mask, position_ids, abw)
+            h = emb
+            aux_sum = jnp.float32(0)
+            lp_dev = self._to_device(self.layers_host[0])
+            prev = None
+            for l in range(L):
+                nxt = (self._to_device(self.layers_host[l + 1])
+                       if l + 1 < L else None)
+                h, aux_l, _ = fwd(lp_dev, h, cos, sin, mask, full_abw)
+                aux_sum = aux_sum + aux_l
+                if prev is not None:
+                    jax.block_until_ready(prev)
+                prev = h
+                del lp_dev
+                lp_dev = nxt
+            loss, (codec_loss, mean_aux) = self._jits["eval_head"](
+                hp, h, codec_labels, labels, aux_sum, aux_w)
+            loss_v, codec_v, aux_v = jax.device_get(
+                (loss, codec_loss, mean_aux))
+            for k, v in (("loss", loss_v), ("codec_loss", codec_v),
+                         ("aux_loss", aux_v)):
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {f"eval_{k}": v / max(n, 1) for k, v in sums.items()}
+
     def precompile(self, batch: Dict, rng: jax.Array) -> None:
         """Warm every program with one throwaway step on the given batch
         (params are updated once; intended before timing runs)."""
