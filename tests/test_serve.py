@@ -63,6 +63,33 @@ def test_mesh_served_quantized_generation(tmp_path):
     assert len(paths) == 1
 
 
+def test_mesh_served_int4_generation(tmp_path):
+    """int4 (s4) expert leaves shard onto the mesh through the jit
+    widen→repack path (device_put of s4 across a relayout recurses on
+    this jax version, so shard_params must never relayout s4 directly)
+    and serve end-to-end."""
+    import jax.numpy as jnp
+
+    cfg = tiny_test_config(
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=2,
+        mlp_dynamic_expert_num=4, dynamic_intermediate_size=64,
+        shared_intermediate_size=32,
+    )
+    model = build_server(
+        None, ep_size=2, tp_size=2, allow_random=True, quantize="int4",
+        tokenizer=StubTokenizer(cfg), config=cfg, max_tokens=12, min_tokens=4,
+    )
+    dyn = model.params["layers"]["moe"]["dynamic"]["down"]
+    assert dyn.q.dtype == jnp.int4
+    assert "expert" in str(dyn.q.sharding.spec)
+    # attention stays int8: only expert FFNs take the s4 latency trade.
+    assert model.params["layers"]["attn"]["q_proj"]["w"].q.dtype == jnp.int8
+    paths = model.text_to_music("int4 served", output_dir=str(tmp_path), seed=0)
+    assert len(paths) == 1
+    audio, _ = audio_io.read_wav(paths[0])
+    assert np.isfinite(audio).all()
+
+
 def test_mesh_served_packed_dispatch_batch(tmp_path):
     """Capacity-packed dispatch (serving_mode auto-engages at >= 32
     streams) under an ep x tp sharded int8 mesh: the one-hot dispatch /

@@ -49,8 +49,9 @@ def build_server(model_path: Optional[str], *, ep_size: int = 1, tp_size: int = 
     if ep_size * tp_size > 1 or n_dev > 1:
         shape = default_mesh_shape(n_dev, ep_size, tp_size)
         mesh = make_mesh(*shape)
-        # shard_params handles int8 QTensor leaves (scale specs derived
-        # from the weight specs).
+        # shard_params handles quantized QTensor leaves (scale specs
+        # derived from the weight specs; s4 leaves re-emit packed+sharded
+        # through jit — a direct relayout would hit the s4 device_put bug).
         model.params = shard_params(model.params, mesh, model.config)
         print(f"serving on mesh (data, expert, model) = {shape}"
               + (f" [{'int8' if quantize is True else quantize}]"

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -184,7 +185,22 @@ def shard_params(params: Dict, mesh: Mesh, cfg: UniMoEAudioConfig,
 
     def place(x, s):
         if isinstance(x, QTensor):
-            q = jax.device_put(x.q, NamedSharding(mesh, s))
+            tgt = NamedSharding(mesh, s)
+            if x.q.dtype == jnp.int4:
+                # s4 leaves (int4 serving mode) cannot cross a device_put
+                # relayout on this jax version (the 0→4 sub-byte relayout
+                # recurses — see ops.quant.packed_int4_format).  Widen to
+                # int8 in one jit, then re-emit s4 already in the packed
+                # SHARDED layout via the producer-side out_shardings
+                # workaround — values identical, never relayouted.
+                from ..ops.quant import packed_int4_format
+
+                fmt = packed_int4_format(x.q.shape, tgt) or tgt
+                widened = jax.jit(lambda a: a.astype(jnp.int8))(x.q)
+                q = jax.jit(lambda a: a.astype(jnp.int4),
+                            out_shardings=fmt)(widened)
+            else:
+                q = jax.device_put(x.q, tgt)
             s_spec = P(*[
                 ax if (i < x.s.ndim and x.s.shape[i] == x.q.shape[i]) else None
                 for i, ax in enumerate(s)
