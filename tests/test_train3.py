@@ -194,6 +194,25 @@ def _codec_batch(cfg, rng, B=2, T=8):
     }
 
 
+def test_prefetch_preserves_order_and_propagates_errors():
+    """prefetch(): same items in the same order, bounded queue, and a
+    worker exception re-raises in the consumer (not swallowed)."""
+    from unimoe_audio_tpu.train.data import prefetch
+
+    items = [{"i": i} for i in range(7)]
+    assert list(prefetch(iter(items))) == items
+    assert list(prefetch(iter([]))) == []
+
+    def boom():
+        yield {"i": 0}
+        raise RuntimeError("collate failed")
+
+    it = prefetch(boom())
+    assert next(it) == {"i": 0}
+    with pytest.raises(RuntimeError, match="collate failed"):
+        list(it)
+
+
 def test_nonfinite_step_is_skipped():
     """A nan batch must NOT corrupt params (reference nan/inf filter +
     DeepSpeed overflow skip, moe_trainer.py:664-669)."""

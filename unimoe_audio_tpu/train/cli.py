@@ -128,7 +128,7 @@ def main(argv=None):
     from ..config import UniMoEAudioConfig
     from ..models.model import init_model_params
     from ..parallel.mesh import default_mesh_shape, make_mesh, shard_params
-    from ..train.data import Collator, ConversationDataset
+    from ..train.data import Collator, ConversationDataset, prefetch
     from ..train.surgery import moeify_dense_params
     from ..train.trainer import MetricsLogger, Trainer, TrainerConfig
 
@@ -280,7 +280,7 @@ def main(argv=None):
                 "vision data through the standard trainer")
         rng = jax.random.PRNGKey(args.seed)
         micro = []
-        for batch in batches():
+        for batch in prefetch(batches()):
             if trainer.step >= total_steps:
                 break
             if "pixel_values" in batch:
@@ -353,7 +353,8 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     logger = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
     trainer = Trainer(cfg, params, tcfg, logger=logger)
-    trainer.fit(batches(), max_steps=args.max_steps, eval_batches=eval_batches)
+    trainer.fit(prefetch(batches()), max_steps=args.max_steps,
+                eval_batches=eval_batches)
     with open(os.path.join(args.output_dir, "train_done.json"), "w") as f:
         json.dump({"steps": int(trainer.state.step)}, f)
     return 0

@@ -176,6 +176,40 @@ def preprocess_pretraining(
     }
 
 
+def prefetch(batches, depth: int = 2):
+    """Background-thread batch prefetch.
+
+    Host-side collation (and, for image samples, PIL decode + smart_resize
+    + patchify) runs on this host's single CPU core; without pipelining it
+    serializes with the device step.  A daemon thread fills a bounded
+    queue `depth` deep so the next batch is built while the current one
+    trains — the role the reference's torch DataLoader workers play
+    (qwen2vl_datasets.py consumed via HF Trainer's dataloader).  Worker
+    exceptions re-raise in the consumer; order is preserved."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    END = object()
+
+    def worker():
+        try:
+            for item in batches:
+                q.put(item)
+            q.put(END)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def expand_image_tokens(conversation: List[Dict], n_tokens: int,
                         image_token: str = DEFAULT_IMAGE_TOKEN,
                         prepend_prompt: bool = True) -> List[Dict]:
