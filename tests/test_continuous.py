@@ -1,0 +1,167 @@
+"""Continuous-batching server tests (apps/continuous.py): a request
+GREEDY-decoded through the rolling slot server is IDENTICAL to the same
+request decoded standalone — including admission into a mid-flight batch,
+audio-prompt requests, and decode-region compaction.  (Sampled decode uses
+the identical per-request key chain but logits carry reduction-order noise
+at shifted cache slots — see the module docstring — so bitwise tests run
+greedy.)"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unimoe_audio_tpu.apps.continuous import SlotRequest, SlotServer
+from unimoe_audio_tpu.codec import delay as dl
+from unimoe_audio_tpu.config import tiny_test_config
+from unimoe_audio_tpu.generate.loop import generate_jit, pad_buffer
+from unimoe_audio_tpu.models.model import init_model_params
+
+T_TEXT = 8
+
+
+def _cfg():
+    return tiny_test_config(num_hidden_layers=2)
+
+
+def _params(cfg):
+    return init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+
+
+def _request(cfg, seed, *, max_tokens=10, min_tokens=2, text_len=None,
+             prompt_frames=0):
+    rng = np.random.default_rng(seed)
+    tl = text_len or T_TEXT - (seed % 3)
+    ids = np.zeros((2, T_TEXT), np.int32)
+    mask = np.zeros((2, T_TEXT), np.int32)
+    ids[:, :tl] = rng.integers(1, cfg.text_config.vocab_size - 1,
+                               size=(2, tl))
+    mask[:, :tl] = 1
+    prompt = (rng.integers(0, cfg.codec_eos_value,
+                           size=(prompt_frames, cfg.codec_channels))
+              .astype(np.int32) if prompt_frames else None)
+    prefill, steps = dl.prepare_audio_prompt(
+        [prompt], num_channels=cfg.codec_channels,
+        bos_value=cfg.codec_bos_value,
+        delay_pattern=cfg.codec_delay_pattern)
+    return SlotRequest(
+        input_ids=ids, attention_mask=mask,
+        prefill=np.asarray(prefill[0]), prefill_steps=int(steps[0]),
+        max_tokens=max_tokens, min_tokens=min_tokens,
+        cfg_scale=3.0, temperature=1.0, top_p=1.0,
+        eos_prob_mul_factor=0.6, seed=seed, rid=f"req{seed}",
+    )
+
+
+def _standalone(params, cfg, req, do_sample=False):
+    buf = pad_buffer(jnp.asarray(req.prefill[None]), req.max_tokens)
+    res = generate_jit(
+        params, cfg, jnp.asarray(req.input_ids),
+        jnp.asarray(req.attention_mask), None, buf,
+        jnp.asarray([req.prefill_steps], jnp.int32), jax.random.PRNGKey(0),
+        max_tokens=req.max_tokens, min_tokens=jnp.int32(req.min_tokens),
+        cfg_scale=jnp.float32(req.cfg_scale),
+        temperature=jnp.float32(req.temperature),
+        top_p=jnp.float32(req.top_p), cfg_filter_top_k=45,
+        eos_prob_mul_factor=jnp.float32(req.eos_prob_mul_factor),
+        sample_seeds=jnp.asarray([req.seed], jnp.int32), do_sample=do_sample,
+    )
+    return np.asarray(res.codes[0]), int(res.lengths[0])
+
+
+def _check(results, oracle):
+    assert set(r.rid for r in results) == set(oracle)
+    for r in results:
+        codes, length = oracle[r.rid]
+        assert r.length == length, (r.rid, r.length, length)
+        np.testing.assert_array_equal(r.codes, codes, err_msg=str(r.rid))
+
+
+def test_single_request_matches_standalone():
+    cfg = _cfg()
+    params = _params(cfg)
+    req = _request(cfg, seed=7)
+    srv = SlotServer(params, cfg, slots=2, t_text=T_TEXT, horizon=64,
+                     chunk_frames=8, do_sample=False)
+    srv.submit(req)
+    results = srv.run_until_drained()
+    _check(results, {req.rid: _standalone(params, cfg, req)})
+
+
+def test_midflight_admission_matches_standalone():
+    """B admitted while A is mid-decode: both equal their standalone runs
+    (decode_start masks B's cache gap; seed_step_offset keeps B's sampling
+    chain row-relative; rope_deltas keep B's positions row-relative)."""
+    cfg = _cfg()
+    params = _params(cfg)
+    a = _request(cfg, seed=1, max_tokens=14)
+    b = _request(cfg, seed=2, max_tokens=9, text_len=5)
+    srv = SlotServer(params, cfg, slots=2, t_text=T_TEXT, horizon=96,
+                     chunk_frames=5, do_sample=False)
+    srv.submit(a)
+    srv.step()                      # A decodes 5 frames alone
+    assert srv.active[0] and not srv.active[1]
+    srv.submit(b)                   # admitted at a nonzero global step
+    results = srv.run_until_drained()
+    _check(results, {r.rid: _standalone(params, cfg, r) for r in (a, b)})
+
+
+def test_audio_prompt_request_matches_standalone():
+    """Voice-clone-style request (delayed prompt frames) through the slot
+    server: the shifted buffer tail merges exactly as standalone."""
+    cfg = _cfg()
+    params = _params(cfg)
+    a = _request(cfg, seed=3, max_tokens=8)
+    p = _request(cfg, seed=4, max_tokens=16, prompt_frames=6)
+    srv = SlotServer(params, cfg, slots=2, t_text=T_TEXT, horizon=96,
+                     chunk_frames=4, do_sample=False)
+    srv.submit(a)
+    srv.step()
+    srv.submit(p)
+    results = srv.run_until_drained()
+    _check(results, {r.rid: _standalone(params, cfg, r) for r in (a, p)})
+
+
+def test_compaction_reclaims_horizon_and_preserves_results():
+    """A stream of requests larger than the horizon: compaction must kick
+    in (the global step would otherwise run off the cache) and every
+    result still equals its standalone run."""
+    cfg = _cfg()
+    params = _params(cfg)
+    reqs = [_request(cfg, seed=10 + i, max_tokens=10) for i in range(5)]
+    srv = SlotServer(params, cfg, slots=2, t_text=T_TEXT, horizon=48,
+                     chunk_frames=6, do_sample=False)
+    for r in reqs:
+        srv.submit(r)
+    results = srv.run_until_drained()
+    assert len(results) == len(reqs)
+    _check(results, {r.rid: _standalone(params, cfg, r) for r in reqs})
+    assert srv.compactions >= 1, "horizon never compacted — test too small"
+
+
+def test_sampled_mode_completes_with_valid_structure():
+    """Sampled decode through the server: requests complete, lengths are in
+    bounds, and codes are valid codec ids (bitwise parity is a greedy-only
+    contract — see module docstring)."""
+    cfg = _cfg()
+    params = _params(cfg)
+    reqs = [_request(cfg, seed=20 + i, max_tokens=8) for i in range(3)]
+    srv = SlotServer(params, cfg, slots=2, t_text=T_TEXT, horizon=64,
+                     chunk_frames=4, do_sample=True)
+    for r in reqs:
+        srv.submit(r)
+    results = srv.run_until_drained()
+    assert len(results) == 3
+    for r in results:
+        assert 0 <= r.length <= 8
+        # Delayed-domain codes: content + EOS/PAD/BOS specials.
+        assert ((r.codes >= 0) & (r.codes <= cfg.codec_bos_value)).all()
+
+
+def test_submit_rejects_oversized_request():
+    cfg = _cfg()
+    params = _params(cfg)
+    srv = SlotServer(params, cfg, slots=1, t_text=T_TEXT, horizon=32,
+                     chunk_frames=4)
+    with pytest.raises(ValueError, match="horizon"):
+        srv.submit(_request(cfg, seed=5, max_tokens=64))

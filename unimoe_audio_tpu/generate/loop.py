@@ -79,6 +79,22 @@ def generate_jit(
     resume_state: Optional[_LoopState] = None,  # continue a chunked decode
     stop_at: Optional[jnp.ndarray] = None,      # pause the loop at this step
     *,
+    # Continuous batching (apps/continuous.py) hooks — both default to the
+    # single-batch semantics:
+    # decode_start[B]: first VALID decode cache slot per sample.  A row
+    # admitted into a running batch at global frame a has cache slots
+    # [T_text, T_text+a) unwritten; keys below its decode_start are masked.
+    decode_start: Optional[jnp.ndarray] = None,
+    # start_step overrides min(prefill_steps) - 1 as the global decode
+    # origin.  A rolling batch replaces retired rows with new requests
+    # whose prefill_steps differ; the origin must stay pinned so existing
+    # rows' cache positions (n_pre + T_text + rel) remain continuous.
+    start_step: Optional[jnp.ndarray] = None,
+    # seed_step_offset[B]: subtracted from the step before the per-request
+    # sample_seeds fold — an admitted row's sampling chain stays identical
+    # to the same request decoded standalone (its steps are row-relative,
+    # not global).
+    seed_step_offset: Optional[jnp.ndarray] = None,
     rope_deltas: Optional[jnp.ndarray] = None,  # [2B] or [2B, 1] mRoPE deltas
     cache_len: Optional[int] = None,  # static KV buffer length override
     return_state: bool = False,
@@ -213,7 +229,12 @@ def generate_jit(
     step_pos_base = decode_position_base(
         jnp.sum(attention_mask, axis=-1), T_text, rope_deltas
     ) + n_pre  # [2B]; prefix slots shift every real position right
-    start_step = jnp.min(prefill_steps) - 1
+    start_step = (jnp.min(prefill_steps) - 1 if start_step is None
+                  else jnp.asarray(start_step, jnp.int32))
+    dstart_2B = (
+        None if decode_start is None
+        else jnp.repeat(jnp.asarray(decode_start, jnp.int32), 2)[:, None]
+    )  # [2B, 1] CFG-interleaved
     stop_step = max_tokens if stop_at is None else jnp.minimum(stop_at, max_tokens)
 
     # ---------------- decode loop ----------------
@@ -242,10 +263,13 @@ def generate_jit(
             attention_mask, ((0, 0), (n_pre, T_total - n_pre - T_text)),
             constant_values=1,
         )[:, :T_total]  # prefix slots (left pad) are always attendable
+        decode_ok = (key_idx <= cache_pos)
+        if dstart_2B is not None:
+            decode_ok &= key_idx >= dstart_2B
         kv_valid = jnp.where(
             key_idx < n_pre + T_text,
             text_valid,
-            (key_idx <= cache_pos).astype(jnp.int32),
+            decode_ok.astype(jnp.int32),
         )
 
         step_out = text_model_forward(
@@ -283,8 +307,12 @@ def generate_jit(
         rng, sample_key = jax.random.split(s.rng)
         if seed_keys is not None:
             # Per-(stream, step, channel) keys: composition-independent.
-            step_keys = jax.vmap(
-                lambda k: jax.random.fold_in(k, current_step))(seed_keys)
+            fold_step = (
+                jnp.broadcast_to(current_step, (B,))
+                if seed_step_offset is None
+                else current_step - jnp.asarray(seed_step_offset, jnp.int32)
+            )
+            step_keys = jax.vmap(jax.random.fold_in)(seed_keys, fold_step)
             sample_key = jax.vmap(
                 lambda k: jax.vmap(lambda c: jax.random.fold_in(k, c))(
                     jnp.arange(C))
