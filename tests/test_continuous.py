@@ -158,6 +158,38 @@ def test_sampled_mode_completes_with_valid_structure():
         assert ((r.codes >= 0) & (r.codes <= cfg.codec_bos_value)).all()
 
 
+def test_api_surface_continuous_t2m_and_tts(tmp_path):
+    """UniMoEAudio.continuous_server / make_slot_request /
+    decode_slot_results: T2M and voice-clone TTS requests ride the rolling
+    server end-to-end (prompt templates, codec placeholder scatter into
+    the spliced prefill, delay-revert assembly)."""
+    from test_api import StubTokenizer
+    from unimoe_audio_tpu.api import UniMoEAudio
+
+    cfg = _cfg()
+    m = UniMoEAudio(None, allow_random=True, config=cfg,
+                    tokenizer=StubTokenizer(cfg), max_tokens=12, min_tokens=2)
+    srv = m.continuous_server(slots=2, t_text=96, horizon=96,
+                              chunk_frames=6, do_sample=True)
+    rng = np.random.default_rng(0)
+    prompt_codec = rng.integers(0, cfg.codec_eos_value,
+                                size=(3, cfg.codec_channels))
+    srv.submit(m.make_slot_request(
+        "t2m", caption="a slow piano piece", seed=1,
+        max_audio_seconds=0.24, rid="music"))
+    srv.submit(m.make_slot_request(
+        "tts", caption="hello world", prompt_text="ref transcript",
+        prompt_codec=prompt_codec, seed=2, max_audio_seconds=0.4,
+        rid="speech"))
+    results = srv.run_until_drained()
+    assert {r.rid for r in results} == {"music", "speech"}
+    paths = m.decode_slot_results(results, output_dir=str(tmp_path))
+    assert len(paths) == 2
+    import os
+
+    assert all(os.path.exists(p) for p in paths)
+
+
 def test_submit_rejects_oversized_request():
     cfg = _cfg()
     params = _params(cfg)

@@ -726,6 +726,109 @@ class UniMoEAudio:
         return out
 
     # ------------------------------------------------------------------
+    # Continuous batching (apps/continuous.py): rolling request
+    # admission/retirement on one live decode state — beyond-reference
+    # serving (the reference decodes each batch to completion).
+    # ------------------------------------------------------------------
+    def continuous_server(self, *, slots: int = 4, t_text: int = 128,
+                          horizon: Optional[int] = None,
+                          chunk_frames: int = 64, do_sample: bool = True):
+        """Build a SlotServer over this model's params.  Feed it with
+        make_slot_request(); decode retired results to wavs with
+        decode_slot_results()."""
+        from .apps.continuous import SlotServer
+
+        return SlotServer(
+            self.params, self.config, slots=slots, t_text=t_text,
+            horizon=horizon or (self.MAX_TOKENS + 4 * chunk_frames),
+            chunk_frames=chunk_frames, do_sample=do_sample,
+        )
+
+    def make_slot_request(self, task: str = "text_to_music", *,
+                          caption: str, prompt_text: Optional[str] = None,
+                          prompt_wav: Optional[str] = None,
+                          prompt_codec=None, seed: int = 0,
+                          max_audio_seconds: Optional[float] = None,
+                          min_audio_seconds: Optional[float] = None,
+                          cfg_scale: Optional[float] = None,
+                          temperature: float = 1.0, top_p: float = 1.0,
+                          eos_prob_mul_factor: Optional[float] = None,
+                          rid=None):
+        """Build a SlotRequest from a task description using the same
+        prompt templates / tokenization / codec preprocessing as the
+        task methods (text_to_music / text_to_speech)."""
+        from .apps.continuous import SlotRequest
+
+        cfg = self.config
+        if task in ("text_to_music", "t2m"):
+            neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+                "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
+            pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+                "<|MUSIC_START|>" + caption + "<|MUSIC_END|>") + AUDIO_START
+            codec_flat = None
+            cfg_scale = 10.0 if cfg_scale is None else cfg_scale
+            eosf = 0.6 if eos_prob_mul_factor is None else eos_prob_mul_factor
+        elif task in ("text_to_speech", "tts"):
+            if prompt_codec is None:
+                if prompt_wav is None or self.dac is None:
+                    raise ValueError(
+                        "TTS requests need prompt_codec or prompt_wav+DAC")
+                prompt_codec = self.dac.encode(prompt_wav)
+            codec_flat = self._preprocess_codec(prompt_codec)  # [P, C]
+            prompt_caption = (
+                "<|SPEECH_PROMPT_START|>" + str(prompt_text)
+                + "<|SPEECH_PROMPT_END|>" + "<|VOICE_PROMPT_START|>"
+                + "<|AUDIO_PLACEHOLDER|>" * codec_flat.shape[0]
+                + "<|VOICE_PROMPT_END|>"
+            )
+
+            def with_target(x):
+                return prompt_caption + "<|SPEECH_START|>" + x + "<|SPEECH_END|>"
+
+            neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(with_target("")) + AUDIO_START
+            pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(with_target(caption)) + AUDIO_START
+            cfg_scale = 1.0 if cfg_scale is None else cfg_scale
+            eosf = 1.0 if eos_prob_mul_factor is None else eos_prob_mul_factor
+        else:
+            raise ValueError(f"unsupported continuous task: {task}")
+
+        ids, mask = self._tokenize([neg, pos])
+        prefill, steps = dl.prepare_audio_prompt(
+            [None], num_channels=cfg.codec_channels,
+            bos_value=cfg.codec_bos_value,
+            delay_pattern=cfg.codec_delay_pattern)
+        mt = (int(max_audio_seconds * 50) if max_audio_seconds is not None
+              else self.MAX_TOKENS)
+        mn = (int(min_audio_seconds * 50) if min_audio_seconds is not None
+              else min(self.MIN_TOKENS, mt))
+        return SlotRequest(
+            input_ids=np.asarray(ids), attention_mask=np.asarray(mask),
+            prefill=np.asarray(prefill[0]), prefill_steps=int(steps[0]),
+            codec_flat=codec_flat, max_tokens=mt, min_tokens=mn,
+            cfg_scale=cfg_scale, temperature=temperature, top_p=top_p,
+            eos_prob_mul_factor=eosf, seed=seed, rid=rid)
+
+    def decode_slot_results(self, results, output_dir: str = "./",
+                            save_name: str = "continuous") -> List[str]:
+        """Assemble retired SlotResults to wavs (delay revert + DAC),
+        mirroring _generate_core's output stage."""
+        os.makedirs(output_dir, exist_ok=True)
+        out = []
+        for r in results:
+            audios = dl.generate_output(
+                jnp.asarray(r.codes[None]), jnp.asarray([r.length]),
+                pad_value=self.config.codec_pad_value,
+                delay_pattern=self.config.codec_delay_pattern)
+            path = os.path.join(output_dir, f"generated_{save_name}_{r.rid}.wav")
+            if self.dac is not None:
+                self.dac.decode(audios[0].T[None], save_path=path, min_duration=1)
+            else:
+                np.save(path + ".codes.npy", audios[0])
+                path += ".codes.npy"
+            out.append(path)
+        return out
+
+    # ------------------------------------------------------------------
     # Mixed-task batch generation (one decode batch for interleaved
     # TTS / T2M / VT2M requests — BASELINE workload 5; the reference's
     # Gradio dispatcher runs tasks one-by-one, web_demo.py:829-841)

@@ -68,6 +68,9 @@ class SlotRequest:
     eos_prob_mul_factor: float = 0.6
     seed: int = 0
     rid: Optional[object] = None  # caller's request id
+    # Voice-clone prompts: flat [N, C] codec rows scattered into the text's
+    # N placeholder positions at prefill (api.text_to_speech's contract).
+    codec_flat: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -183,10 +186,18 @@ class SlotServer:
         t_req = req.input_ids.shape[1]
         ids[:, :t_req] = req.input_ids
         mask[:, :t_req] = req.attention_mask
+        aligned = None
+        if req.codec_flat is not None:
+            from ..models.model import align_codec_ids
+
+            flat = np.tile(np.asarray(req.codec_flat), (2, 1))  # both CFG rows
+            aligned = jnp.asarray(align_codec_ids(
+                ids, flat, self.cfg.codec_placeholder_value))
         buf1 = np.full((1, self.buf_len, C), -1, np.int32)
         buf1[0, : req.prefill.shape[0]] = req.prefill
         _, st = generate_jit(
-            self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask), None,
+            self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
+            aligned,
             jnp.asarray(buf1), jnp.asarray([req.prefill_steps], jnp.int32),
             jax.random.PRNGKey(0), stop_at=jnp.int32(0),
             cache_len=self.cache_len, return_state=True,
