@@ -112,6 +112,41 @@ def test_mesh_served_packed_dispatch_batch(tmp_path):
     assert np.isfinite(audio).all()
 
 
+def test_serve_cli_continuous_mode(tmp_path, monkeypatch, capsys):
+    """serve.py --requests --continuous: requests ride the rolling slot
+    server; a malformed request fails alone."""
+    import json
+    import sys
+
+    import unimoe_audio_tpu.apps.serve as serve_mod
+
+    cfg = tiny_test_config()
+    model = build_server(
+        None, allow_random=True, tokenizer=StubTokenizer(cfg), config=cfg,
+        max_tokens=16, min_tokens=4,
+    )
+    monkeypatch.setattr(serve_mod, "build_server", lambda *a, **k: model)
+
+    reqs = [
+        {"task": "text_to_music", "caption": "calm tune",
+         "max_audio_seconds": 12 / 50, "min_audio_seconds": 4 / 50},
+        {"task": "text_to_music"},  # malformed: no caption
+        {"task": "text_to_music", "caption": "fast drums",
+         "max_audio_seconds": 10 / 50, "min_audio_seconds": 4 / 50},
+    ]
+    rf = str(tmp_path / "reqs.json")
+    json.dump(reqs, open(rf, "w"))
+    monkeypatch.setattr(sys, "argv", [
+        "serve", "--requests", rf, "--continuous", "--slots", "2",
+        "--chunk-frames", "4", "--output", str(tmp_path / "cont"),
+    ])
+    assert serve_mod.main() == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["outputs"][0] and out["outputs"][2]
+    assert out["outputs"][1] is None
+    assert out["errors"] and out["errors"][0]["index"] == 1
+
+
 def test_serve_cli_full_task_surface(tmp_path, monkeypatch, capsys):
     """serve.py main() routes TTS and the --requests batcher path (the
     reference EP inference scripts are task-agnostic); a malformed request

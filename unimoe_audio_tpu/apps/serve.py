@@ -137,6 +137,16 @@ def main():
                         help="JSON file with a list of {task, ...} request "
                              "dicts served concurrently through the "
                              "request batcher (heterogeneous batching)")
+    parser.add_argument("--continuous", action="store_true",
+                        help="serve --requests through the rolling slot "
+                             "server (apps/continuous.py): requests admit "
+                             "into a live decode batch as slots free up "
+                             "instead of window-batching")
+    parser.add_argument("--slots", type=int, default=4,
+                        help="(--continuous) concurrent request slots")
+    parser.add_argument("--chunk-frames", type=int, default=64,
+                        help="(--continuous) decode frames between "
+                             "admission/retirement boundaries")
     parser.add_argument("--output", default="./served")
     parser.add_argument("--measure-latency", action="store_true")
     args = parser.parse_args()
@@ -154,6 +164,34 @@ def main():
     if args.measure_latency:
         print(json.dumps(measure_ttfa(model)))
         return 0
+    if args.requests and args.continuous:
+        # Rolling admission: requests enter the live decode batch as slots
+        # free up (beyond-reference serving; the batcher below decodes each
+        # window to completion instead).
+        with open(args.requests) as f:
+            reqs = json.load(f)
+        srv = model.continuous_server(
+            slots=args.slots, chunk_frames=args.chunk_frames)
+        outs, errs = [None] * len(reqs), []
+        for i, r in enumerate(reqs):
+            task = r.pop("task", "text_to_music")
+            try:
+                kw = dict(caption=r.get("caption") or r.get("text")
+                          or r.get("input_text"), seed=int(r.get("seed", i)),
+                          rid=i)
+                for k in ("prompt_text", "prompt_wav", "max_audio_seconds",
+                          "min_audio_seconds", "cfg_scale", "temperature",
+                          "top_p"):
+                    if r.get(k) is not None:
+                        kw[k] = r[k]
+                srv.submit(model.make_slot_request(task, **kw))
+            except Exception as e:  # noqa: BLE001 — bad request fails alone
+                errs.append({"index": i, "error": str(e)})
+        for res in srv.run_until_drained():
+            outs[res.rid] = model.decode_slot_results(
+                [res], output_dir=args.output)[0]
+        print(json.dumps({"outputs": outs, "errors": errs}))
+        return 1 if errs and not any(outs) else 0
     if args.requests:
         # Heterogeneous serving through the request batcher: every task
         # type coalesces into one generation batch on the mesh (the
