@@ -190,6 +190,23 @@ def test_api_surface_continuous_t2m_and_tts(tmp_path):
     assert all(os.path.exists(p) for p in paths)
 
 
+def test_packed_dispatch_server_completes():
+    """SlotServer under capacity-packed decode dispatch (the serving-mode
+    MoE path): requests complete with in-bounds lengths.  Packed capacity
+    couples rows, so this is a structural smoke, not a parity test."""
+    cfg = _cfg()
+    params = _params(cfg)
+    srv = SlotServer(params, cfg, slots=2, t_text=T_TEXT, horizon=64,
+                     chunk_frames=6, do_sample=False,
+                     decode_dispatch_mode="packed", decode_capacity=16)
+    reqs = [_request(cfg, seed=30 + i, max_tokens=8) for i in range(3)]
+    for r in reqs:
+        srv.submit(r)
+    results = srv.run_until_drained()
+    assert len(results) == 3
+    assert all(0 <= r.length <= 8 for r in results)
+
+
 def test_submit_rejects_oversized_request():
     cfg = _cfg()
     params = _params(cfg)
