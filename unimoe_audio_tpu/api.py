@@ -738,9 +738,11 @@ class UniMoEAudio:
         decode_slot_results()."""
         from .apps.continuous import SlotServer
 
+        # Default horizon: budget + voice-clone-prompt headroom (a 10 s
+        # prompt is ~500 delayed frames) + admission slack.
         return SlotServer(
             self.params, self.config, slots=slots, t_text=t_text,
-            horizon=horizon or (self.MAX_TOKENS + 4 * chunk_frames),
+            horizon=horizon or (self.MAX_TOKENS + 512 + 4 * chunk_frames),
             chunk_frames=chunk_frames, do_sample=do_sample,
         )
 
