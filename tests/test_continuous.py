@@ -190,6 +190,72 @@ def test_api_surface_continuous_t2m_and_tts(tmp_path):
     assert all(os.path.exists(p) for p in paths)
 
 
+def test_vt2m_request_matches_standalone(tmp_path):
+    """A video request admitted mid-flight: vision features splice into the
+    prefill, mRoPE deltas stay row-relative (base_delta), and greedy output
+    equals the same request decoded standalone."""
+    from test_vt2m import VisionStubTokenizer
+    from unimoe_audio_tpu.api import UniMoEAudio
+
+    cfg = tiny_test_config(num_hidden_layers=2, with_vision=True)
+    m = UniMoEAudio(None, allow_random=True, config=cfg,
+                    tokenizer=VisionStubTokenizer(cfg),
+                    max_tokens=10, min_tokens=2)
+    m.params = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "astype") and x.dtype == jnp.bfloat16 else x, m.params)
+    rng = np.random.default_rng(0)
+    video = rng.uniform(0, 255, size=(2, 3, 56, 56)).astype(np.float32)
+    vreq = m.make_slot_request("vt2m", caption="drums", video=video,
+                               seed=5, max_audio_seconds=0.2, rid="vid")
+    treq = m.make_slot_request("t2m", caption="calm tune", seed=6,
+                               max_audio_seconds=0.2, rid="txt")
+    t_text = max(vreq.input_ids.shape[1], treq.input_ids.shape[1])
+    srv = SlotServer(m.params, cfg, slots=2, t_text=t_text, horizon=64,
+                     chunk_frames=3, do_sample=False)
+    srv.submit(treq)
+    srv.step()                       # text request decodes alone first
+    srv.submit(vreq)                 # video request admits mid-flight
+    results = srv.run_until_drained()
+
+    def standalone(req):
+        # Pad text to the server's t_text so attention reductions group
+        # identically (bitwise contract needs identical shapes).
+        t_req = req.input_ids.shape[1]
+        ids = np.zeros((2, t_text), np.int32)
+        mask = np.zeros((2, t_text), np.int32)
+        ids[:, :t_req] = req.input_ids
+        mask[:, :t_req] = req.attention_mask
+        buf = pad_buffer(jnp.asarray(req.prefill[None]), req.max_tokens)
+        kw = {}
+        if req.visual_embeds is not None:
+            D = req.visual_embeds.shape[-1]
+            ve = np.zeros((2, t_text, D), np.float32)
+            ve[:, :t_req] = req.visual_embeds
+            vm = np.zeros((2, t_text), np.int32)
+            vm[:, :t_req] = req.visual_mask
+            ppos = np.zeros((3, 2, t_text), np.int32)
+            ppos[:, :, :t_req] = req.prefill_position_ids
+            kw = dict(
+                visual_embeds=jnp.asarray(ve), visual_mask=jnp.asarray(vm),
+                prefill_position_ids=jnp.asarray(ppos),
+                rope_deltas=jnp.asarray(req.rope_deltas, jnp.int32),
+            )
+        res = generate_jit(
+            m.params, cfg, jnp.asarray(ids), jnp.asarray(mask), None, buf,
+            jnp.asarray([req.prefill_steps], jnp.int32),
+            jax.random.PRNGKey(0), max_tokens=req.max_tokens,
+            min_tokens=jnp.int32(req.min_tokens),
+            cfg_scale=jnp.float32(req.cfg_scale),
+            temperature=jnp.float32(1.0), top_p=jnp.float32(1.0),
+            cfg_filter_top_k=45,
+            eos_prob_mul_factor=jnp.float32(req.eos_prob_mul_factor),
+            do_sample=False, **kw)
+        return np.asarray(res.codes[0]), int(res.lengths[0])
+
+    _check(results, {r.rid: standalone(r) for r in (treq, vreq)})
+
+
 def test_packed_dispatch_server_completes():
     """SlotServer under capacity-packed decode dispatch (the serving-mode
     MoE path): requests complete with in-bounds lengths.  Packed capacity

@@ -749,7 +749,9 @@ class UniMoEAudio:
     def make_slot_request(self, task: str = "text_to_music", *,
                           caption: str, prompt_text: Optional[str] = None,
                           prompt_wav: Optional[str] = None,
-                          prompt_codec=None, seed: int = 0,
+                          prompt_codec=None, video=None,
+                          sampling_fps: int = 2, max_frames: int = 16,
+                          seed: int = 0,
                           max_audio_seconds: Optional[float] = None,
                           min_audio_seconds: Optional[float] = None,
                           cfg_scale: Optional[float] = None,
@@ -757,12 +759,59 @@ class UniMoEAudio:
                           eos_prob_mul_factor: Optional[float] = None,
                           rid=None):
         """Build a SlotRequest from a task description using the same
-        prompt templates / tokenization / codec preprocessing as the
-        task methods (text_to_music / text_to_speech)."""
+        prompt templates / tokenization / codec / video preprocessing as
+        the task methods (text_to_music / text_to_speech /
+        video_text_to_music)."""
         from .apps.continuous import SlotRequest
 
         cfg = self.config
-        if task in ("text_to_music", "t2m"):
+        vision_kw = {}
+        if task in ("video_text_to_music", "vt2m"):
+            if video is None or "vision" not in self.params:
+                raise ValueError("VT2M requests need video= and a vision tower")
+            from .apps.video import extract_frames, frame_process, video_to_patches
+            from .models.model import get_rope_index
+            from .models.vision import vision_forward
+
+            vcfg = cfg.vision_config
+            if isinstance(video, str):
+                frames = extract_frames(video, sampling_fps, max_frames)
+                pixels = frame_process(frames, total_pixels=20480 * 28 * 28,
+                                       min_pixels=28 * 28)
+            else:
+                pixels = np.asarray(video, dtype=np.float32)
+            patches, grid = video_to_patches(
+                pixels, patch_size=vcfg.patch_size,
+                temporal_patch_size=vcfg.temporal_patch_size,
+                merge_size=vcfg.spatial_merge_size)
+            feats = np.asarray(vision_forward(
+                self.params["vision"], jnp.asarray(patches), grid[None], vcfg))
+            n_tok = patches.shape[0] // vcfg.spatial_merge_size ** 2
+            span = ("<|vision_start|>" + "<|video_pad|>" * n_tok
+                    + "<|vision_end|>")
+            neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+                span + DEFAULT_VIDEO_PROMPT.format(
+                    "<|MUSIC_START|>Low quality.<|MUSIC_END|>")) + AUDIO_START
+            pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+                span + DEFAULT_VIDEO_PROMPT.format(
+                    "<|MUSIC_START|>" + caption + "<|MUSIC_END|>")) + AUDIO_START
+            ids, mask = self._tokenize([neg, pos])
+            D = self.params["embed_tokens"].shape[-1]
+            ve = np.zeros((2, ids.shape[1], D), np.float32)
+            vm = (ids == cfg.video_token_id).astype(np.int32)
+            for r in range(2):
+                ve[r, np.where(vm[r])[0]] = feats
+            spgt = [vcfg.temporal_patch_size / sampling_fps] * 2
+            position_ids, deltas = get_rope_index(
+                ids, cfg, video_grid_thw=np.stack([grid, grid]),
+                second_per_grid_ts=spgt, attention_mask=mask)
+            vision_kw = dict(visual_embeds=ve, visual_mask=vm,
+                             prefill_position_ids=np.asarray(position_ids),
+                             rope_deltas=np.asarray(deltas).reshape(-1))
+            codec_flat = None
+            cfg_scale = 10.0 if cfg_scale is None else cfg_scale
+            eosf = 0.6 if eos_prob_mul_factor is None else eos_prob_mul_factor
+        elif task in ("text_to_music", "t2m"):
             neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
                 "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
             pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
@@ -794,7 +843,8 @@ class UniMoEAudio:
         else:
             raise ValueError(f"unsupported continuous task: {task}")
 
-        ids, mask = self._tokenize([neg, pos])
+        if not vision_kw:
+            ids, mask = self._tokenize([neg, pos])
         prefill, steps = dl.prepare_audio_prompt(
             [None], num_channels=cfg.codec_channels,
             bos_value=cfg.codec_bos_value,
@@ -808,7 +858,7 @@ class UniMoEAudio:
             prefill=np.asarray(prefill[0]), prefill_steps=int(steps[0]),
             codec_flat=codec_flat, max_tokens=mt, min_tokens=mn,
             cfg_scale=cfg_scale, temperature=temperature, top_p=top_p,
-            eos_prob_mul_factor=eosf, seed=seed, rid=rid)
+            eos_prob_mul_factor=eosf, seed=seed, rid=rid, **vision_kw)
 
     def decode_slot_results(self, results, output_dir: str = "./",
                             save_name: str = "continuous") -> List[str]:

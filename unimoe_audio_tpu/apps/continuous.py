@@ -71,6 +71,11 @@ class SlotRequest:
     # Voice-clone prompts: flat [N, C] codec rows scattered into the text's
     # N placeholder positions at prefill (api.text_to_speech's contract).
     codec_flat: Optional[np.ndarray] = None
+    # VT2M: vision features + mRoPE, api.video_text_to_music's contract.
+    visual_embeds: Optional[np.ndarray] = None        # [2, T_req, D]
+    visual_mask: Optional[np.ndarray] = None          # [2, T_req]
+    prefill_position_ids: Optional[np.ndarray] = None  # [3, 2, T_req]
+    rope_deltas: Optional[np.ndarray] = None          # [2]
 
 
 @dataclasses.dataclass
@@ -130,7 +135,10 @@ class SlotServer:
         self.seeds = np.zeros((S,), np.int32)
         self.d_start = np.full((S,), T, np.int32)     # first valid decode slot
         self.seed_off = np.zeros((S,), np.int32)
-        self.text_lens = np.ones((2 * S,), np.int32)
+        # Per-row mRoPE decode base, as a delta vs T: text rows use
+        # attended_len - T; vision rows use get_rope_index's delta.  The
+        # loop's base is T + (base_delta - admission offset).
+        self.base_delta = np.zeros((2 * S,), np.int32) + 1 - T
         self.active = np.zeros((S,), bool)
         self.rids: List[object] = [None] * S
         self.req_max = np.zeros((S,), np.int32)
@@ -193,13 +201,25 @@ class SlotServer:
             flat = np.tile(np.asarray(req.codec_flat), (2, 1))  # both CFG rows
             aligned = jnp.asarray(align_codec_ids(
                 ids, flat, self.cfg.codec_placeholder_value))
+        ve = vm = ppos = None
+        if req.visual_embeds is not None:
+            D = req.visual_embeds.shape[-1]
+            ve = np.zeros((2, T, D), np.float32)
+            ve[:, :t_req] = req.visual_embeds
+            vm = np.zeros((2, T), np.int32)
+            vm[:, :t_req] = req.visual_mask
+            ve, vm = jnp.asarray(ve), jnp.asarray(vm)
+        if req.prefill_position_ids is not None:
+            ppos = np.zeros((3, 2, T), np.int32)
+            ppos[:, :, :t_req] = req.prefill_position_ids
+            ppos = jnp.asarray(ppos)
         buf1 = np.full((1, self.buf_len, C), -1, np.int32)
         buf1[0, : req.prefill.shape[0]] = req.prefill
         _, st = generate_jit(
             self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
             aligned,
             jnp.asarray(buf1), jnp.asarray([req.prefill_steps], jnp.int32),
-            jax.random.PRNGKey(0), stop_at=jnp.int32(0),
+            jax.random.PRNGKey(0), ve, vm, ppos, stop_at=jnp.int32(0),
             cache_len=self.cache_len, return_state=True,
             max_tokens=1, min_tokens=jnp.int32(0),
             cfg_scale=jnp.float32(req.cfg_scale),
@@ -266,7 +286,12 @@ class SlotServer:
             self._splice(slot, cache2, row)
             self.input_ids[2 * slot : 2 * slot + 2] = ids
             self.attention_mask[2 * slot : 2 * slot + 2] = mask
-            self.text_lens[2 * slot : 2 * slot + 2] = mask.sum(-1)
+            # mRoPE decode base as a delta vs T: vision rows carry
+            # get_rope_index's delta, text rows attended_len - T.
+            self.base_delta[2 * slot : 2 * slot + 2] = (
+                np.asarray(req.rope_deltas).reshape(-1)
+                if req.rope_deltas is not None
+                else mask.sum(-1) - self.T)
             self.ps[slot] = d0 + 1                        # = ps + Δ
             self.min_vec[slot] = req.min_tokens + delta
             self.mt_vec[slot] = req.max_tokens + delta
@@ -367,7 +392,10 @@ class SlotServer:
         self._admit()
         n_before = len(self.results)
         if self.active.any():
-            rd = (self.text_lens - self.d_start.repeat(2)).astype(np.int32)
+            # Loop decode base = T + rd; subtracting each row's admission
+            # offset (d_start - T) keeps positions row-relative.
+            rd = (self.base_delta - (self.d_start.repeat(2) - self.T)
+                  ).astype(np.int32)
             stop = jnp.int32(int(self.state.dec_step) + self.chunk)
             _, st = generate_jit(
                 self.params, self.cfg,

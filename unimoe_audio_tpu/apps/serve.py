@@ -179,9 +179,9 @@ def main():
                 kw = dict(caption=r.get("caption") or r.get("text")
                           or r.get("input_text"), seed=int(r.get("seed", i)),
                           rid=i)
-                for k in ("prompt_text", "prompt_wav", "max_audio_seconds",
-                          "min_audio_seconds", "cfg_scale", "temperature",
-                          "top_p"):
+                for k in ("prompt_text", "prompt_wav", "video",
+                          "max_audio_seconds", "min_audio_seconds",
+                          "cfg_scale", "temperature", "top_p"):
                     if r.get(k) is not None:
                         kw[k] = r[k]
                 srv.submit(model.make_slot_request(task, **kw))
