@@ -273,6 +273,32 @@ def test_packed_dispatch_server_completes():
     assert all(0 <= r.length <= 8 for r in results)
 
 
+def test_cancel_queued_and_live_requests():
+    """cancel(): a queued request is dropped before admission; a live
+    request frees its slot mid-flight (later arrivals reuse it) and the
+    survivors still match standalone."""
+    cfg = _cfg()
+    params = _params(cfg)
+    a = _request(cfg, seed=40, max_tokens=14)
+    b = _request(cfg, seed=41, max_tokens=10)
+    c = _request(cfg, seed=42, max_tokens=10)
+    srv = SlotServer(params, cfg, slots=2, t_text=T_TEXT, horizon=96,
+                     chunk_frames=4, do_sample=False)
+    srv.submit(a)
+    srv.submit(b)
+    srv.submit(c)
+    assert srv.cancel("req41")          # still queued
+    assert not srv.cancel("nonexistent")
+    srv.step()                          # a + c admitted
+    assert set(filter(None, srv.rids)) == {"req40", "req42"}
+    assert srv.cancel("req40")          # live cancellation
+    results = srv.run_until_drained()
+    assert {r.rid for r in results} == {"req42"}
+    _check(results, {c.rid: _standalone(params, cfg, c)})
+    for r in results:
+        assert r.wait_s >= 0 and r.serve_s > 0
+
+
 def test_submit_rejects_oversized_request():
     cfg = _cfg()
     params = _params(cfg)

@@ -40,6 +40,7 @@ usual row-coupling caveat applies (generate/loop.py sample_seeds note).
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -84,6 +85,8 @@ class SlotResult:
     codes: np.ndarray   # [max_tokens, C] delayed-domain codes (PAD-masked),
                         # same contract as GenerateResult.codes rows
     length: int
+    wait_s: float = 0.0   # submit → admission (queueing delay)
+    serve_s: float = 0.0  # admission → retirement (decode residency)
 
 
 class SlotServer:
@@ -159,6 +162,9 @@ class SlotServer:
         self.queue: List[SlotRequest] = []
         self.results: List[SlotResult] = []
         self.compactions = 0
+        self._submit_t: Dict[int, float] = {}
+        self._admit_t = np.zeros((S,), np.float64)
+        self._wait_s = np.zeros((S,), np.float64)
         self._splice_jit = None
         self._compact_jit = None
 
@@ -181,7 +187,29 @@ class SlotServer:
         if req.input_ids.shape[1] > self.T:
             raise ValueError(
                 f"request text {req.input_ids.shape[1]} > t_text {self.T}")
+        self._submit_t[id(req)] = time.time()
         self.queue.append(req)
+
+    def cancel(self, rid) -> bool:
+        """Drop a request by rid: from the queue if still waiting, or by
+        freeing its live slot (the row stops extending the loop and its
+        writes never surface).  Returns True if something was cancelled."""
+        for i, q in enumerate(self.queue):
+            if q.rid == rid:
+                self._submit_t.pop(id(q), None)
+                del self.queue[i]
+                return True
+        for slot in range(self.S):
+            if self.active[slot] and self.rids[slot] == rid:
+                self.active[slot] = False
+                self.rids[slot] = None
+                self.state = self.state._replace(
+                    buf=self.state.buf.at[slot].set(self.cfg.codec_pad_value),
+                    eos_countdown=self.state.eos_countdown.at[slot].set(0),
+                    eos_detected=self.state.eos_detected.at[slot].set(True),
+                )
+                return True
+        return False
 
     # -- admission --------------------------------------------------------
     def _prefill_request(self, req: SlotRequest):
@@ -305,6 +333,9 @@ class SlotServer:
             self.req_max[slot] = req.max_tokens
             self.active[slot] = True
             self.rids[slot] = req.rid
+            now = time.time()
+            self._admit_t[slot] = now
+            self._wait_s[slot] = now - self._submit_t.pop(id(req), now)
 
     # -- retirement -------------------------------------------------------
     def _retire(self) -> None:
@@ -325,7 +356,9 @@ class SlotServer:
             codes[:span] = np.where(window == -1, self.cfg.codec_pad_value,
                                     window)
             self.results.append(SlotResult(
-                rid=self.rids[slot], codes=codes, length=length))
+                rid=self.rids[slot], codes=codes, length=length,
+                wait_s=round(float(self._wait_s[slot]), 3),
+                serve_s=round(time.time() - float(self._admit_t[slot]), 3)))
             self.active[slot] = False
             self.rids[slot] = None
             # Claim the slot's buffer (writes never surface until the next
