@@ -460,4 +460,17 @@ if __name__ == "__main__":
             if "--moments" in sys.argv else "int8"
         stream_train_probe(gas=gas, moment_dtype=mdt)
     else:
-        main()
+        try:
+            main()
+        except Exception as e:  # noqa: BLE001
+            # Backend outages (e.g. `UNAVAILABLE: TPU backend setup/compile
+            # error`, which persisted for hours on 2026-08-17/18) would
+            # otherwise produce NO json line at all.  Emit an explicit
+            # error record so the run is diagnosable; value 0 + error field
+            # = "did not run", not a measurement.
+            print(json.dumps({
+                "metric": "audio-sec/sec/chip (aggregate decode RTF)",
+                "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
+                "error": f"{type(e).__name__}: {e}"[:500],
+            }))
+            raise
