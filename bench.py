@@ -288,23 +288,31 @@ def main():
         print("deep-train probe timed out (skipped)", file=sys.stderr)
 
     extra_stream = {}
-    try:
-        # Full 36L flagship layer-streamed training, also pre-HBM-claim.
-        r = subprocess.run(
-            [sys.executable, __file__, "--stream-train"],
-            capture_output=True, text=True, timeout=1800,
-        )
-        for line in reversed(r.stdout.strip().splitlines()):
-            try:
-                extra_stream = json.loads(line)
+    # Full 36L flagship layer-streamed training, also pre-HBM-claim.
+    # Preferred config first (int8 moments + grad accum); if it produces
+    # nothing at flagship scale, fall back to the round-2-proven
+    # fp32/gas=1 configuration rather than dropping the metric.
+    for probe_args in (["--stream-train"],
+                       ["--stream-train", "--gas", "1",
+                        "--moments", "float32"]):
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, *probe_args],
+                capture_output=True, text=True, timeout=1800,
+            )
+            for line in reversed(r.stdout.strip().splitlines()):
+                try:
+                    extra_stream = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if extra_stream:
                 break
-            except json.JSONDecodeError:
-                continue
-        if not extra_stream:
-            print(f"stream-train probe produced no JSON (rc={r.returncode}): "
-                  f"{r.stderr[-300:]}", file=sys.stderr)
-    except subprocess.TimeoutExpired:
-        print("stream-train probe timed out (skipped)", file=sys.stderr)
+            print(f"stream-train probe {probe_args} produced no JSON "
+                  f"(rc={r.returncode}): {r.stderr[-300:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"stream-train probe {probe_args} timed out",
+                  file=sys.stderr)
 
     FRAME_RATE = 50.0
     B = 88
