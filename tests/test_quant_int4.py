@@ -9,22 +9,40 @@ import jax.numpy as jnp
 
 from unimoe_audio_tpu.config import tiny_test_config
 from unimoe_audio_tpu.ops.quant import (
-    QTensor, expert_einsum, pad_expert_ffn, quantize_model_params,
-    quantize_tensor, quantize_tensor_int4, requantize_experts_int4_inplace,
+    QTensor, dequantize, expert_einsum, pad_expert_ffn,
+    quantize_model_params, quantize_tensor, quantize_tensor_int4,
+    requantize_experts_int4_inplace,
 )
 
 
 def test_int4_quantize_error_bound():
     w = jax.random.normal(jax.random.PRNGKey(0), (4, 256, 128), jnp.float32)
-    qt = quantize_tensor_int4(w)
+    qt = quantize_tensor_int4(w, group_size=128)
     assert str(qt.q.dtype) == "int4"
-    deq = qt.q.astype(jnp.float32) * qt.s
+    assert qt.s.shape == (4, 2, 128)  # G=128 groups along D=256
+    deq = dequantize(qt)
     err = np.asarray(jnp.abs(deq - w))
-    # per-channel bound: |err| <= s/2 = amax/14
-    amax = np.asarray(jnp.max(jnp.abs(w), axis=-2, keepdims=True))
-    assert (err <= amax / 14 + 1e-6).all()
+    # group-wise bound: within each group, |err| <= max(s/2, clip error);
+    # the smallest scale candidate is 0.65*amax/8, so clip error at the
+    # group max is at most (1 - 7*0.65/8) * amax ≈ 0.432*amax
+    amax_g = np.asarray(jnp.max(jnp.abs(w.reshape(4, 2, 128, 128)),
+                                axis=-2, keepdims=False))  # [4, 2, 128]
+    bound = np.repeat(0.44 * amax_g + 1e-6, 128, axis=1).reshape(err.shape)
+    assert (err <= bound).all()
     rms = float(jnp.sqrt(jnp.mean((deq - w) ** 2) / jnp.mean(w ** 2)))
-    assert rms < 0.14, rms  # ~12.6% for gaussian (step=amax/7, rms=step/sqrt(12))
+    assert rms < 0.11, rms  # [-8,7] + clip search at G=128 beats RTN (~12.6%)
+
+
+def test_int4_groupwise_beats_per_channel():
+    """Group-wise clip-searched int4 has lower reconstruction error than
+    single-group (per-channel-sized) quantization of the same weights."""
+    w = jax.random.normal(jax.random.PRNGKey(7), (512, 64), jnp.float32)
+    fine = quantize_tensor_int4(w, group_size=128)
+    coarse = quantize_tensor_int4(w, group_size=512)
+    e_fine = float(jnp.mean((dequantize(fine) - w) ** 2))
+    e_coarse = float(jnp.mean((dequantize(coarse) - w) ** 2))
+    assert fine.s.shape == (4, 64) and coarse.s.shape == (1, 64)
+    assert e_fine < e_coarse
 
 
 def test_requantize_from_int8_close_to_direct():
@@ -35,12 +53,18 @@ def test_requantize_from_int8_close_to_direct():
                       "fixed": {"gate": q8, "up": q8, "down": q8}}}
     out = requantize_experts_int4_inplace(params)
     two_stage = out["moe"]["dynamic"]["gate"]
-    d_deq = direct.q.astype(jnp.float32) * direct.s
-    t_deq = two_stage.q.astype(jnp.float32) * two_stage.s
-    # the int8 grid is ~18x finer than int4: the two-stage result is
-    # within one int4 step of the direct quantization
-    step = np.asarray(direct.s)
-    assert (np.abs(np.asarray(d_deq - t_deq)) <= step + 1e-6).all()
+    d_deq = dequantize(direct)
+    t_deq = dequantize(two_stage)
+    # the int8 grid is ~18x finer than int4, but the per-group clip search
+    # can settle on adjacent ratios for near-tied MSE — reconstructions
+    # agree to a fraction of the weight scale overall
+    d_rms = float(jnp.sqrt(jnp.mean((d_deq - w) ** 2)))
+    t_rms = float(jnp.sqrt(jnp.mean((t_deq - w) ** 2)))
+    assert abs(d_rms - t_rms) < 0.02 * float(jnp.sqrt(jnp.mean(w ** 2)))
+    step = np.asarray(direct.s.astype(jnp.float32))
+    close = np.abs(np.asarray(d_deq - t_deq)) <= 2 * np.repeat(
+        step[:, :, None, :], 64, axis=2).reshape(d_deq.shape) + 1e-6
+    assert close.mean() > 0.98, close.mean()
 
 
 def test_int4_expert_einsum_matches_dequantized():

@@ -277,11 +277,16 @@ def moe_ffn_gmm(
 
     def w(name):
         p = params[name]
-        return p.q.astype(hidden.dtype) if hasattr(p, "q") else p.astype(hidden.dtype)
+        if hasattr(p, "q"):
+            if p.s.shape[-2] > 1:  # group-wise scales: post-matmul scaling
+                from ..ops.quant import dequantize  # doesn't factor — dequantize
+                return dequantize(p, hidden.dtype)
+            return p.q.astype(hidden.dtype)
+        return p.astype(hidden.dtype)
 
     def scale(name, y):
         p = params[name]
-        if hasattr(p, "q"):
+        if hasattr(p, "q") and p.s.shape[-2] == 1:
             # per-expert scales [E, 1, N] → per-row via slot_expert
             return y * p.s[slot_expert, 0].astype(y.dtype)
         return y
