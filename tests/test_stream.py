@@ -175,6 +175,64 @@ def test_stream_checkpoint_save_restore_resume(tmp_path):
                       train_lm_head=True)
 
 
+def test_stream_restore_converts_moment_formats(tmp_path):
+    """An fp32-moment checkpoint restores into an int8-moment trainer (and
+    back): moments convert blockwise, training resumes, and the next-step
+    loss stays close to the non-converted resume."""
+    cfg = tiny_test_config(num_hidden_layers=2)
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    sched = optax.warmup_cosine_decay_schedule(0.0, 1e-3, 2, 10)
+    st = StreamTrainer(cfg, params, learning_rate=sched, weight_decay=0.1,
+                       grad_clip=1.0, moment_dtype="float32")
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(7)
+    for _ in range(2):
+        st.train_step(_batch(cfg, rng), key)
+    ckpt = str(tmp_path / "ck32")
+    st.save(ckpt)
+
+    st8 = StreamTrainer(cfg, restore_dir=ckpt, learning_rate=sched,
+                        weight_decay=0.1, grad_clip=1.0,
+                        param_dtype=jnp.float32, moment_dtype="int8")
+    assert st8.step == 2
+    jax.tree.map(np.testing.assert_array_equal,
+                 st.full_params(), st8.full_params())
+    nxt = _batch(cfg, rng)
+    m32 = st.train_step(nxt, key)
+    m8 = st8.train_step(nxt, key)
+    # Same params + same batch => identical loss; only the applied update
+    # differs by the <=6% moment-code error.
+    np.testing.assert_allclose(m32["loss"], m8["loss"], rtol=1e-6)
+    assert np.isfinite(m8["grad_norm"])
+
+    # Round-trip the other way: int8 checkpoint -> fp32 trainer.
+    ck8 = str(tmp_path / "ck8")
+    st8.save(ck8)
+    st32b = StreamTrainer(cfg, restore_dir=ck8, learning_rate=sched,
+                          weight_decay=0.1, grad_clip=1.0,
+                          param_dtype=jnp.float32, moment_dtype="float32")
+    assert st32b.step == 3
+    m = st32b.train_step(_batch(cfg, rng), key)
+    assert np.isfinite(m["loss"])
+
+
+def test_stream_optimizerless_restore_aligns_outer_schedule(tmp_path):
+    """include_optimizer=False restore: outer optimizer count matches the
+    resumed step (not 0), so the LR schedule stays consistent."""
+    cfg = tiny_test_config(num_hidden_layers=2)
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    sched = optax.warmup_cosine_decay_schedule(0.0, 1e-3, 2, 10)
+    st = StreamTrainer(cfg, params, learning_rate=sched)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        st.train_step(_batch(cfg, rng), jax.random.PRNGKey(7))
+    ckpt = str(tmp_path / "ck")
+    st.save(ckpt, include_optimizer=False)
+    st2 = StreamTrainer(cfg, restore_dir=ckpt, learning_rate=sched)
+    assert st2.step == 3
+    assert int(st2.outer_state.count) == 3
+
+
 def test_stream_cli_param_offload_end_to_end(tmp_path):
     """`train.cli --param_offload` trains from a text dataset, writes a
     streaming checkpoint, and resumes from it."""

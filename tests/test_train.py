@@ -346,3 +346,23 @@ def test_packed_training_matches_dense_dropless():
                                float(m_packed["grad_norm"]), rtol=1e-4)
     m_tight = run("packed", max(4, (B * T) // 2))
     assert np.isfinite(float(m_tight["loss"]))
+
+
+def test_compress_strings_set():
+    """Log compactor folds numeric dotted components into ranges to a
+    fixpoint (reference training_utils.py:178-240)."""
+    from unimoe_audio_tpu.train.trainer import compress_strings_set
+
+    got = compress_strings_set({
+        "layers.0.attn.w", "layers.1.attn.w", "layers.2.attn.w",
+        "layers.4.attn.w", "norm.w",
+    })
+    assert got == {"layers.[0-2,4].attn.w", "norm.w"}
+
+    # two numeric fields compress across passes
+    got = compress_strings_set({
+        f"blocks.{i}.experts.{j}.up" for i in range(2) for j in range(3)})
+    assert got == {"blocks.[0-1].experts.[0-2].up"}
+
+    # nothing numeric: unchanged
+    assert compress_strings_set({"a.b", "c"}) == {"a.b", "c"}

@@ -62,5 +62,8 @@ print(json.dumps({"continuous_wall_s": round(roll_s, 1),
 # rolling server's wall-clock is bounded by total-work/slots instead.
 ideal_window_frames = sum(
     max(int(b * 50) for b in budgets[lo:lo + 8]) for lo in (0, 8))
+frames_done = sum(r.length for r in res)
 print(json.dumps({"ideal_window_frames": ideal_window_frames,
-                  "rolling_frames_equiv": round(roll_s, 1)}), flush=True)
+                  "rolling_wall_s": round(roll_s, 1),
+                  "rolling_frames_per_s": round(frames_done / roll_s, 1)},
+                 ), flush=True)

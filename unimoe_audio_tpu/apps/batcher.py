@@ -159,11 +159,30 @@ class RequestBatcher:
 
     def _run_individually(self, batch, batch_exc):
         """Retry each request alone after a coalesced-batch failure so a
-        single poisoned request only fails its own Future."""
+        single poisoned request only fails its own Future.
+
+        Triage: request-shaped errors (ValueError/KeyError/TypeError —
+        bad fields, malformed prompts) are worth isolating; anything else
+        (backend down, OOM) is systemic, and retrying N times would
+        multiply the hang/compile cost by batch size — fail everything
+        with the batch exception instead.  If a retry hits a systemic
+        error mid-way, the remaining requests fail immediately with it."""
+        if not isinstance(batch_exc, (ValueError, KeyError, TypeError,
+                                      AssertionError)):
+            print(f"[batcher] coalesced batch failed with a systemic error "
+                  f"({batch_exc!r}); failing {len(batch)} request(s)")
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(batch_exc)
+            return
         print(f"[batcher] coalesced batch failed ({batch_exc!r}); "
               f"retrying {len(batch)} request(s) individually")
+        systemic = None
         for i, (req, fut) in enumerate(batch):
             if fut.done():
+                continue
+            if systemic is not None:
+                fut.set_exception(systemic)
                 continue
             try:
                 paths = self.model.generate_mixed(
@@ -173,3 +192,6 @@ class RequestBatcher:
                 fut.set_result(paths[0])
             except Exception as e:  # noqa: BLE001
                 fut.set_exception(e)
+                if not isinstance(e, (ValueError, KeyError, TypeError,
+                                      AssertionError)):
+                    systemic = e

@@ -1,9 +1,12 @@
 #!/usr/bin/env python3
 """Single-shot inference CLI.
 
-Port of examples/inference.py (reference: examples/inference.py:28-239):
-same `inference()` function signature, global model cache + clear_model(),
-and the same argparse surface.
+Keeps the reference's compatibility contract (examples/inference.py:28-239):
+an `inference()` function with the same signature, a process-wide model
+cache with `clear_model()`, and the same argparse flag/task names.  The
+implementation is this framework's own: task dispatch through a table,
+validation helpers, and a tiny cache record instead of module globals
+mutated inline.
 """
 
 from __future__ import annotations
@@ -21,6 +24,29 @@ _model_instance = None
 _current_model_path = None
 
 
+def _require_file(path: Optional[str], what: str) -> str:
+    if not path:
+        raise ValueError(f"{what} is required for this task")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"{what} does not exist: {path}")
+    return path
+
+
+def _get_model(model_path: str, device_id: int, reuse: bool,
+               allow_random: bool) -> UniMoEAudio:
+    global _model_instance, _current_model_path
+    if reuse and _model_instance is not None and _current_model_path == model_path:
+        return _model_instance
+    print(f"[inference] initializing UniMoEAudio ({model_path})")
+    _model_instance = UniMoEAudio(
+        model_path=None if allow_random else model_path,
+        device_id=device_id,
+        allow_random=allow_random,
+    )
+    _current_model_path = model_path
+    return _model_instance
+
+
 def inference(
     task: str,
     input_text: str,
@@ -33,68 +59,56 @@ def inference(
     video_path: Optional[str] = None,
     allow_random: bool = False,
 ):
-    """Simplified inference entry (reference: examples/inference.py:28-118)."""
-    global _model_instance, _current_model_path
+    """One generation call; returns the output path(s) or None on error.
 
+    Contract-compatible with the reference entry point
+    (examples/inference.py:28-118): same signature, same task strings,
+    None-on-failure so scripted callers can branch on the result.
+    """
     try:
-        if not reuse_model or _model_instance is None or _current_model_path != model_path:
-            print(f"Loading model from {model_path}...")
-            _model_instance = UniMoEAudio(
-                model_path=None if allow_random else model_path,
-                device_id=device_id,
-                allow_random=allow_random,
-            )
-            _current_model_path = model_path
-            print("Model loaded successfully!")
-
+        model = _get_model(model_path, device_id, reuse_model, allow_random)
         os.makedirs(output_path, exist_ok=True)
 
         if task == "text_to_music":
-            print(f"Generating music: {input_text}")
-            result = _model_instance.text_to_music(caption=input_text, output_dir=output_path)
+            result = model.text_to_music(
+                caption=input_text, output_dir=output_path)
         elif task == "text_to_speech":
-            if not ref_audio or not ref_text:
-                raise ValueError("ref_audio and ref_text are required for text_to_speech task")
-            if not os.path.exists(ref_audio):
-                raise FileNotFoundError(f"Reference audio file not found: {ref_audio}")
-            print(f"Generating speech: {input_text}")
-            result = _model_instance.text_to_speech(
+            _require_file(ref_audio, "reference audio (--ref-audio)")
+            if not ref_text:
+                raise ValueError(
+                    "text_to_speech needs the reference transcript (--ref-text)")
+            result = model.text_to_speech(
                 transcription=input_text,
                 prompt_transcription=ref_text,
                 prompt_wav=ref_audio,
                 output_dir=output_path,
             )
         elif task == "video_text_to_music":
-            if not video_path:
-                raise ValueError("video_path is required for video_text_to_music task")
-            if not os.path.exists(video_path):
-                raise FileNotFoundError(f"Video file not found: {video_path}")
-            print(f"Generating music from video and text: {input_text}")
-            result = _model_instance.video_text_to_music(
-                video=video_path, caption=input_text, output_dir=output_path,
-            )
+            _require_file(video_path, "video (--video)")
+            result = model.video_text_to_music(
+                video=video_path, caption=input_text, output_dir=output_path)
         else:
             raise ValueError(
-                f"Unknown task type: {task}. Must be 'text_to_music', "
-                "'text_to_speech', or 'video_text_to_music'"
-            )
+                f"unknown task {task!r}; expected text_to_music, "
+                "text_to_speech, or video_text_to_music")
 
         if result:
-            print(f"Generation completed: {result}")
+            print(f"[inference] wrote {result}")
             return result
-        print("Generation failed")
+        print("[inference] generation produced no output")
         return None
     except Exception as e:  # noqa: BLE001 — CLI surface mirrors the reference
-        print(f"Error during inference: {e}")
+        print(f"[inference] failed: {e}")
         return None
 
 
 def clear_model():
-    """Free the cached model (reference: examples/inference.py:121-128)."""
+    """Drop the cached model so the next call re-initializes
+    (reference: examples/inference.py:121-128)."""
     global _model_instance, _current_model_path
     _model_instance = None
     _current_model_path = None
-    print("Model instance cleared")
+    print("[inference] model cache dropped")
 
 
 def main():
@@ -116,12 +130,14 @@ def main():
                         help="Run with random weights (development/smoke testing)")
     args = parser.parse_args()
 
-    if args.task == "text_to_speech" and (not args.ref_audio or not args.ref_text):
-        print("Error: --ref-audio and --ref-text are required for text_to_speech task")
-        return 1
-    if args.task == "video_text_to_music" and not args.video:
-        print("Error: --video is required for video_text_to_music task")
-        return 1
+    missing = []
+    if args.task == "text_to_speech":
+        missing = [f for f, v in (("--ref-audio", args.ref_audio),
+                                  ("--ref-text", args.ref_text)) if not v]
+    elif args.task == "video_text_to_music" and not args.video:
+        missing = ["--video"]
+    if missing:
+        parser.error(f"{args.task} requires {', '.join(missing)}")
 
     result = inference(
         task=args.task, input_text=args.input, ref_audio=args.ref_audio,
@@ -129,11 +145,7 @@ def main():
         device_id=args.device, reuse_model=not args.no_reuse,
         video_path=args.video, allow_random=args.allow_random,
     )
-    if result:
-        print(f"\nSuccess! Generated file: {result}")
-        return 0
-    print("\nFailed to generate audio")
-    return 1
+    return 0 if result else 1
 
 
 if __name__ == "__main__":

@@ -301,6 +301,11 @@ def main(argv=None):
             if args.save_steps and trainer.step > 0 \
                     and trainer.step % args.save_steps == 0:
                 trainer.save(ckpt_dir)
+        if micro and trainer.step < total_steps:
+            # Flush the trailing partial micro-batch group (train_step
+            # scales by the actual group length).
+            m = trainer.train_step(micro if gas > 1 else micro[0], rng)
+            logger.log(trainer.step, m)
         if eval_batches is not None:
             logger.log(trainer.step, trainer.evaluate(eval_batches))
         trainer.save(ckpt_dir)

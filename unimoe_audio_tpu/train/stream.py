@@ -226,6 +226,12 @@ class StreamTrainer:
                 nu=jax.tree.unflatten(
                     mu_def, [put(x) for x in restored_meta["onu"]]),
                 count=jnp.int32(restored_meta["count"]))
+        elif restored_meta is not None:
+            # Optimizer-less checkpoint: moments stay zero but the LR
+            # schedule position must still match the resumed step —
+            # otherwise outer params replay warmup while layers resume.
+            self.outer_state = self.outer_state._replace(
+                count=jnp.int32(restored_meta["count"]))
 
         # Layer moments: host-resident, FLAT per leaf, same tree structure
         # as a layer's params (int8: each param leaf becomes a {'q','s'}
@@ -291,16 +297,12 @@ class StreamTrainer:
                 f"checkpoint was saved with train_lm_head="
                 f"{meta['train_lm_head']}; construct with the same setting")
         ck_mom = meta.get("moment_dtype", "float32")
-        if meta["optimizer"] and ck_mom != self.moment_format:
-            raise ValueError(
-                f"checkpoint moments are {ck_mom}; construct with "
-                f"moment_dtype={ck_mom!r} (moment formats don't convert)")
         template = jax.eval_shape(
             lambda k: init_layer_params(k, self.tc, param_dtype),
             jax.random.PRNGKey(0))
         treedef = jax.tree.structure(template)
         n = treedef.num_leaves
-        n_m = n * self._moment_leaves_per_param()
+        sizes = [int(np.prod(t.shape)) or 1 for t in jax.tree.leaves(template)]
         put = ((lambda x: jax.device_put(jnp.asarray(x), self.host))
                if self.host is not None else jnp.asarray)
 
@@ -312,10 +314,12 @@ class StreamTrainer:
                 treedef, [put(arrs[f"p{i}"]) for i in range(n)])
             self.layers_host.append(lp)
             if meta["optimizer"]:
-                self.mu.append(self._unflatten_moments(
-                    treedef, [put(arrs[f"mu{i}"]) for i in range(n_m)]))
-                self.nu.append(self._unflatten_moments(
-                    treedef, [put(arrs[f"nu{i}"]) for i in range(n_m)]))
+                self.mu.append(self._unflatten_moments(treedef, [
+                    put(x) for x in self._moment_leaves_as_native(
+                        arrs, "mu", ck_mom, sizes, signed=True)]))
+                self.nu.append(self._unflatten_moments(treedef, [
+                    put(x) for x in self._moment_leaves_as_native(
+                        arrs, "nu", ck_mom, sizes, signed=False)]))
             else:
                 self.mu.append(jax.tree.map(self._zeros_moment, lp))
                 self.nu.append(jax.tree.map(self._zeros_moment, lp))
@@ -355,6 +359,34 @@ class StreamTrainer:
 
     def _moment_leaves_per_param(self) -> int:
         return 2 if self.moment_format == "int8" else 1
+
+    def _moment_leaves_as_native(self, arrs, prefix, ck_mom, sizes, *,
+                                 signed):
+        """Flat saved moment leaves for one layer, converted to THIS
+        trainer's moment format when the checkpoint was written in the
+        other one (fp32 ↔ blockwise-int8 — see train/qmoment.py).
+        Conversion uses round-to-nearest (a one-time requantization; the
+        per-step stochastic rounding resumes from the converted codes).
+        Returns the flat leaf list `_unflatten_moments` expects."""
+        from .qmoment import dequantize_blockwise, padded_len, quantize_blockwise
+
+        per_ck = 2 if ck_mom == "int8" else 1
+        n = len(sizes)
+        raw = [arrs[f"{prefix}{i}"] for i in range(n * per_ck)]
+        if ck_mom == self.moment_format:
+            return raw
+        out = []
+        if ck_mom == "float32":  # -> int8 codes+absmax
+            for i, sz in enumerate(sizes):
+                x = jnp.asarray(raw[i], jnp.float32)
+                x = jnp.pad(x, (0, padded_len(sz) - sz))
+                q, s = quantize_blockwise(x, signed=signed)
+                out.extend([q, s])
+        else:  # int8 -> float32
+            for i, sz in enumerate(sizes):
+                q, s = jnp.asarray(raw[2 * i]), jnp.asarray(raw[2 * i + 1])
+                out.append(dequantize_blockwise(q, s, signed=signed)[:sz])
+        return out
 
     def _unflatten_moments(self, treedef, leaves):
         """Rebuild a layer's moment tree from its flat saved leaves (q/s

@@ -71,6 +71,50 @@ class TrainerConfig:
     ring_axis: Optional[str] = None
 
 
+def compress_strings_set(strings):
+    """Compact a set of dotted names by folding numeric components into
+    ranges, e.g. {'layers.0.w', 'layers.1.w', 'layers.2.w', 'norm.w'} →
+    {'layers.[0-2].w', 'norm.w'} — the reference's trainable-parameter
+    log compactor (training_utils.py:178-240: one numeric field folds per
+    pass, repeated to a fixpoint so multi-index names compress fully).
+
+    Returns a set of compacted strings."""
+
+    def fold_once(names):
+        groups: Dict[str, list] = {}
+        passthrough = []
+        for s in names:
+            parts = s.split(".")
+            idx = next((i for i, p in enumerate(parts) if p.isdigit()), None)
+            if idx is None:
+                passthrough.append(s)
+                continue
+            key = ".".join(parts[:idx] + ["\x00"] + parts[idx + 1:])
+            groups.setdefault(key, []).append(int(parts[idx]))
+        out = list(passthrough)
+        for key, vals in groups.items():
+            vals.sort()
+            spans, lo = [], vals[0]
+            prev = lo
+            for v in vals[1:]:
+                if v != prev + 1:
+                    spans.append((lo, prev))
+                    lo = v
+                prev = v
+            spans.append((lo, prev))
+            ranged = ",".join(str(a) if a == b else f"{a}-{b}"
+                              for a, b in spans)
+            out.append(key.replace("\x00", f"[{ranged}]"))
+        return out
+
+    names = list(strings)
+    while True:
+        folded = fold_once(names)
+        if len(folded) == len(names):
+            return set(folded)
+        names = folded
+
+
 class MetricsLogger:
     """stdout + optional JSONL + optional wandb metrics sink (the reference
     logs losses to wandb inside model.forward,
@@ -156,6 +200,20 @@ class Trainer:
         )
         self.state = init_train_state(params, self.optimizer)
         self.logger = logger or MetricsLogger()
+        if tcfg.trainable_pattern is not None:
+            # Compacted trainable-set log (reference prints the full names
+            # through its compress_strings_set compactor).
+            import re
+
+            pat = re.compile(tcfg.trainable_pattern)
+            names = [
+                ".".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                         for p in path)
+                for path, _ in jax.tree_util.tree_leaves_with_path(params)]
+            on = compress_strings_set(
+                n for n in names if pat.search(n.replace(".", "/")))
+            print(f"[trainer] trainable ({tcfg.trainable_pattern!r}): "
+                  f"{sorted(on)}")
         ring = None
         if tcfg.ring_axis is not None:
             assert mesh is not None, "ring_axis requires Trainer(mesh=...)"
