@@ -139,6 +139,59 @@ def test_compaction_reclaims_horizon_and_preserves_results():
     assert srv.compactions >= 1, "horizon never compacted — test too small"
 
 
+def test_sampled_deterministic_matches_standalone_and_is_load_invariant():
+    """Per-request determinism under DENSE (dropless) dispatch, SAMPLED
+    decode: a request's codes equal its standalone sampled run AND are
+    invariant to which co-residents share the server.  (Exact on the CPU
+    backend — sequential reductions; on TPU the same property holds up to
+    reduction-order noise at shifted cache slots, which dense dispatch
+    cannot remove — see module docstring.)"""
+    cfg = _cfg()
+    params = _params(cfg)
+    target = _request(cfg, seed=42, max_tokens=9)
+
+    def serve_with(co_seed):
+        srv = SlotServer(params, cfg, slots=2, t_text=T_TEXT, horizon=64,
+                         chunk_frames=4, do_sample=True)
+        srv.submit(_request(cfg, seed=co_seed, max_tokens=11))
+        srv.step()  # co-resident decodes a chunk before target admits
+        srv.submit(target)
+        res = {r.rid: (r.codes, r.length) for r in srv.run_until_drained()}
+        return res[target.rid]
+
+    a_codes, a_len = serve_with(91)
+    b_codes, b_len = serve_with(92)
+    assert a_len == b_len
+    np.testing.assert_array_equal(a_codes, b_codes)
+
+    s_codes, s_len = _standalone(params, cfg, target, do_sample=True)
+    assert a_len == s_len
+    np.testing.assert_array_equal(a_codes, s_codes)
+
+
+def test_continuous_server_deterministic_flag_forces_dense():
+    """api.continuous_server(deterministic=True) never configures packed
+    dispatch, even at serving-mode widths; deterministic=False at wide
+    slots in serving mode does."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from tests.test_api import StubTokenizer
+    from unimoe_audio_tpu.api import UniMoEAudio
+
+    cfg = _cfg()
+    m = UniMoEAudio(None, tokenizer=StubTokenizer(cfg), allow_random=True,
+                    config=cfg, max_tokens=8, min_tokens=2)
+    m.serving_mode = "int8"  # width policy only — params stay raw here
+    wide = m.continuous_server(slots=32, t_text=T_TEXT, horizon=64,
+                               chunk_frames=4)
+    det = m.continuous_server(slots=32, t_text=T_TEXT, horizon=64,
+                              chunk_frames=4, deterministic=True)
+    assert wide.dispatch["decode_dispatch_mode"] == "packed"
+    assert wide.dispatch["decode_capacity"] >= 16
+    assert det.dispatch["decode_dispatch_mode"] is None
+    assert det.dispatch["decode_capacity"] is None
+
+
 def test_sampled_mode_completes_with_valid_structure():
     """Sampled decode through the server: requests complete, lengths are in
     bounds, and codes are valid codec ids (bitwise parity is a greedy-only

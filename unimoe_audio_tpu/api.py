@@ -732,11 +732,29 @@ class UniMoEAudio:
     # ------------------------------------------------------------------
     def continuous_server(self, *, slots: int = 4, t_text: int = 128,
                           horizon: Optional[int] = None,
-                          chunk_frames: int = 64, do_sample: bool = True):
+                          chunk_frames: int = 64, do_sample: bool = True,
+                          deterministic: bool = False):
         """Build a SlotServer over this model's params.  Feed it with
         make_slot_request(); decode retired results to wavs with
-        decode_slot_results()."""
+        decode_slot_results().
+
+        deterministic=True guarantees DROPLESS dispatch (dense expert
+        routing) regardless of width/serving mode, so a request's output
+        depends only on the request itself — never on co-resident load
+        that could win its expert-capacity slots.  Costs throughput on
+        wide servers (the packed decode dispatch is the aggregate-RTF
+        configuration); narrow servers are dense either way."""
         from .apps.continuous import SlotServer
+
+        # Wide serving-mode servers get the same capacity-packed decode
+        # dispatch as _generate_core's batch path (S_dec = 2*slots CFG
+        # rows); deterministic mode keeps everything dense/dropless.
+        dispatch_kw = {}
+        S_dec = 2 * slots
+        if (not deterministic and getattr(self, "serving_mode", False)
+                and S_dec >= 64):
+            dispatch_kw["decode_dispatch_mode"] = "packed"
+            dispatch_kw["decode_capacity"] = -(-int(S_dec * 0.64) // 16) * 16
 
         # Default horizon: budget + voice-clone-prompt headroom (a 10 s
         # prompt is ~500 delayed frames) + admission slack.
@@ -744,6 +762,7 @@ class UniMoEAudio:
             self.params, self.config, slots=slots, t_text=t_text,
             horizon=horizon or (self.MAX_TOKENS + 512 + 4 * chunk_frames),
             chunk_frames=chunk_frames, do_sample=do_sample,
+            **dispatch_kw,
         )
 
     def make_slot_request(self, task: str = "text_to_music", *,

@@ -147,6 +147,11 @@ def main():
     parser.add_argument("--chunk-frames", type=int, default=64,
                         help="(--continuous) decode frames between "
                              "admission/retirement boundaries")
+    parser.add_argument("--deterministic", action="store_true",
+                        help="(--continuous) dropless dense dispatch: a "
+                             "request's output never depends on co-resident "
+                             "load (disables the packed-dispatch aggregate "
+                             "throughput config on wide servers)")
     parser.add_argument("--output", default="./served")
     parser.add_argument("--measure-latency", action="store_true")
     args = parser.parse_args()
@@ -171,7 +176,8 @@ def main():
         with open(args.requests) as f:
             reqs = json.load(f)
         srv = model.continuous_server(
-            slots=args.slots, chunk_frames=args.chunk_frames)
+            slots=args.slots, chunk_frames=args.chunk_frames,
+            deterministic=args.deterministic)
         outs, errs = [None] * len(reqs), []
         for i, r in enumerate(reqs):
             task = r.pop("task", "text_to_music")
