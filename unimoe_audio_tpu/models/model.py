@@ -48,6 +48,7 @@ class TextModelOutput(NamedTuple):
     router_top_k: Optional[jnp.ndarray]       # [L, S]
     router_logits: Optional[jnp.ndarray]      # [L, S, E] (only when requested)
     expert_mask: Optional[jnp.ndarray]        # [L, S, E] (only when requested)
+    moe_inputs: Optional[jnp.ndarray] = None  # [L, B, T, D] (calibration capture)
 
 
 def text_model_forward(
@@ -66,6 +67,7 @@ def text_model_forward(
     dispatch_mode: str = "dense",
     capacity: Optional[int] = None,
     output_router_stats: bool = False,
+    output_moe_inputs: bool = False,
     remat: bool = False,
     use_flash: Optional[bool] = None,
     hidden_sharding=None,
@@ -159,6 +161,11 @@ def text_model_forward(
         if output_router_stats:
             ys["router_logits"] = moe_out.router_logits
             ys["expert_mask"] = moe_out.expert_mask
+        if output_moe_inputs:
+            # The DCMoE block input (post-attention-layernorm output) —
+            # the calibration statistic for GPTQ expert quantization
+            # (ops/gptq.py); fp32 so the Hessian accumulates accurately.
+            ys["moe_input"] = hn.astype(jnp.float32)
         if use_cache:
             if decode_emit:
                 ys["new_k"], ys["new_v"] = new_cache
@@ -204,6 +211,7 @@ def text_model_forward(
         router_top_k=ys["top_k"],
         router_logits=ys.get("router_logits"),
         expert_mask=ys.get("expert_mask"),
+        moe_inputs=ys.get("moe_input"),
     )
 
 

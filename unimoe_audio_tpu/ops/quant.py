@@ -343,6 +343,19 @@ def pad_expert_ffn(params: Dict, multiple: int = 128) -> Dict:
                 s_pads = [(0, 0)] * s.ndim
                 s_pads[-1] = (0, Fp - F)
                 s = jax.jit(lambda x: jnp.pad(x, s_pads, constant_values=1.0))(s)
+            elif s.shape[-2] > 1:
+                # group-wise scales over a padded CONTRACTION dim (the
+                # quantize-before-pad GPTQ flow): append whole scale groups
+                # of 1.0 covering the zero q rows.
+                G = F // s.shape[-2]
+                if (Fp - F) % G:
+                    raise ValueError(
+                        f"contraction pad {Fp - F} not a multiple of the "
+                        f"scale group size {G}; quantize with a group size "
+                        f"dividing the padded dim or pad first")
+                s_pads = [(0, 0)] * s.ndim
+                s_pads[-2] = (0, (Fp - F) // G)
+                s = jax.jit(lambda x: jnp.pad(x, s_pads, constant_values=1.0))(s)
             node[key] = QTensor(q=qp, s=s)
         else:
             node[key] = jax.jit(lambda x: jnp.pad(x, pads))(w)
@@ -395,6 +408,8 @@ def quantize_model_params(params: Dict) -> Dict:
             w = get_path(out, path)
         except (KeyError, TypeError):
             continue
+        if isinstance(w, QTensor):  # already quantized (e.g. GPTQ experts)
+            continue
         set_path(out, path, quantize_tensor(w))
     return out
 
@@ -420,6 +435,8 @@ def quantize_model_params_inplace(params: Dict) -> Dict:
                 node = node[key]
             w = node[path[-1]]
         except (KeyError, TypeError):
+            continue
+        if isinstance(w, QTensor):  # already quantized (e.g. GPTQ experts)
             continue
         node[path[-1]] = q_jit(w)
         del w
