@@ -163,6 +163,36 @@ def test_quantize_experts_gptq_end_to_end():
     assert e_gptq < 1.1 * e_rtn, (e_gptq, e_rtn)
 
 
+def test_int4_gptq_serving_mode(tmp_path):
+    """serving_mode="int4-gptq": load-time self-calibration (greedy
+    generation → Hessians → GPTQ experts), then generation runs with the
+    packed experts; non-expert weights int8 as usual."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from tests.test_api import StubTokenizer
+    from unimoe_audio_tpu.api import UniMoEAudio
+
+    cfg = tiny_test_config()
+    m = UniMoEAudio(
+        None, tokenizer=StubTokenizer(cfg), allow_random=True, config=cfg,
+        max_tokens=16, min_tokens=4, serving_mode="int4-gptq",
+        gptq_calibration={"captions": ["calm synth arpeggio",
+                                       "noisy drum loop"],
+                          "frames": 8, "group_size": 16},
+    )
+    dyn = m.params["layers"]["moe"]["dynamic"]["gate"]
+    assert isinstance(dyn, QTensor) and str(dyn.q.dtype) == "int4"
+    assert dyn.s.shape[-2] > 1  # group-wise scales
+    attn_w = m.params["layers"]["attn"]["q_proj"]["w"]
+    assert isinstance(attn_w, QTensor) and str(attn_w.q.dtype) == "int8"
+    paths = m.text_to_music("gptq serving tune", output_dir=str(tmp_path),
+                            seed=0, do_sample=False)
+    assert len(paths) == 1
+    from unimoe_audio_tpu.codec import audio_io
+    a, _ = audio_io.read_wav(paths[0])
+    assert np.isfinite(a).all()
+
+
 def test_pad_expert_ffn_grouped_contraction_scales():
     """The GPTQ flow quantizes BEFORE padding: pad_expert_ffn must extend
     group-wise scales over a padded contraction dim with 1.0 groups and

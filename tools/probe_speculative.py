@@ -24,6 +24,10 @@ Prints one JSON line per grid point plus the implied flagship speedup.
 """
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -69,6 +69,7 @@ class UniMoEAudio:
         max_tokens: Optional[int] = None,
         min_tokens: Optional[int] = None,
         serving_mode: bool = False,
+        gptq_calibration: Optional[dict] = None,
     ):
         """serving_mode applies the tuned single-chip serving stack:
         weight-only quantization, lane-padded expert FFNs, and
@@ -78,7 +79,16 @@ class UniMoEAudio:
         path); "int4" additionally stores the EXPERT FFNs as packed s4
         (half the dominant weight stream — the single-stream/low-batch
         latency operating point, ~1.35× over int8 there; numerics table
-        in docs/STATUS.md)."""
+        in docs/STATUS.md).  "int4-gptq" is the same int4 layout with
+        error-compensated weights (ops/gptq.py): at load time the
+        UNQUANTIZED model greedily generates short continuations for a
+        small caption set and the expert FFNs are quantized against the
+        Hessians of those (prompt + audio) sequences — the serving
+        distribution itself, CFG negative rows included.  Same speed as
+        "int4", substantially closer logits (docs/STATUS.md); costs one
+        short generation + per-layer GPTQ pass at load.
+        gptq_calibration overrides the defaults:
+        {"captions": [...], "frames": int, "group_size": int}."""
         del device_id  # JAX targets the default device; kept for API parity
         self.MAX_TOKENS = max_tokens if max_tokens is not None else UniMoEAudio.MAX_TOKENS
         self.MIN_TOKENS = min_tokens if min_tokens is not None else UniMoEAudio.MIN_TOKENS
@@ -86,21 +96,8 @@ class UniMoEAudio:
         self.config, self.params = self._load_model(
             model_path, dtype=dtype, allow_random=allow_random, config=config
         )
-        assert serving_mode in (False, True, "int8", "int4"), serving_mode
+        assert serving_mode in (False, True, "int8", "int4", "int4-gptq"), serving_mode
         self.serving_mode = serving_mode
-        if serving_mode:
-            from .ops.quant import (
-                pad_expert_ffn, quantize_model_params_inplace,
-                quantize_vision_params, requantize_experts_int4_inplace,
-            )
-
-            self.params = quantize_model_params_inplace(self.params)
-            self.params = pad_expert_ffn(self.params)
-            if serving_mode == "int4":
-                self.params = requantize_experts_int4_inplace(self.params)
-            if "vision" in self.params:
-                self.params["vision"] = quantize_vision_params(
-                    self.params["vision"])
         self.tokenizer = tokenizer or self._load_tokenizer(model_path)
         if self.tokenizer is None and allow_random:
             # Self-contained dev mode: hash-vocab tokenizer with the special
@@ -118,6 +115,26 @@ class UniMoEAudio:
             )
         self.dac = self._load_dac(model_path, dac_weights, allow_random)
         self._compiled_shapes = set()
+
+        if serving_mode:
+            from .ops.quant import (
+                pad_expert_ffn, quantize_model_params_inplace,
+                quantize_vision_params, requantize_experts_int4_inplace,
+            )
+
+            if serving_mode == "int4-gptq":
+                # Experts first (from the full-precision weights, self-
+                # calibrated through the tokenizer set up above); the int8
+                # pass below skips QTensor leaves and pad_expert_ffn
+                # no-ops on the already-padded experts.
+                self._gptq_quantize_experts(**(gptq_calibration or {}))
+            self.params = quantize_model_params_inplace(self.params)
+            self.params = pad_expert_ffn(self.params)
+            if serving_mode == "int4":
+                self.params = requantize_experts_int4_inplace(self.params)
+            if "vision" in self.params:
+                self.params["vision"] = quantize_vision_params(
+                    self.params["vision"])
 
     # ------------------------------------------------------------------
     # Loading
@@ -229,6 +246,83 @@ class UniMoEAudio:
             eos_value=self.config.codec_eos_value,
             pad_value=self.config.codec_pad_value,
         )
+
+    # ------------------------------------------------------------------
+    # GPTQ self-calibration (serving_mode="int4-gptq")
+    # ------------------------------------------------------------------
+    GPTQ_CALIB_CAPTIONS = [
+        "Upbeat electronic dance track with a driving bassline.",
+        "Gentle acoustic guitar ballad, warm and intimate.",
+        "Orchestral film score with sweeping strings and brass.",
+        "Lo-fi hip hop beat with vinyl crackle and mellow keys.",
+        "Fast bebop jazz with a saxophone solo and walking bass.",
+        "Ambient drone with slowly evolving synthesizer pads.",
+        "Heavy metal riff with distorted guitars and double kick drums.",
+        "Solo piano nocturne, melancholic and sparse.",
+    ]
+
+    def _gptq_quantize_experts(self, captions=None, frames: int = 64,
+                               group_size: int = 64,
+                               max_calib_tokens: int = 4096):
+        """Self-calibrating GPTQ expert conversion (ops/gptq.py).
+
+        The still-unquantized model greedily generates `frames` audio
+        frames for each calibration caption (T2M prompt template, CFG
+        pairs — the exact serving layout), then the expert FFNs are
+        quantized against Hessians of those (prompt + delayed audio)
+        sequences.  Both rows of a CFG pair consume the same audio stream
+        at serving time, so both enter the calibration set.  MUTATES
+        self.params (expert leaves → packed-s4 QTensor)."""
+        from .ops.gptq import quantize_experts_int4_gptq
+
+        cfg = self.config
+        captions = captions or self.GPTQ_CALIB_CAPTIONS
+        neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
+            "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
+        text_input = []
+        for c in captions:
+            text_input.append(neg)
+            text_input.append(
+                SYSTEM_MESSAGE
+                + INPUT_FORMAT.format("<|MUSIC_START|>" + c + "<|MUSIC_END|>")
+                + AUDIO_START
+            )
+        ids, mask = self._tokenize(text_input)
+        B2, Tt = ids.shape
+        prefill, steps = dl.prepare_audio_prompt(
+            [None] * (B2 // 2),
+            num_channels=cfg.codec_channels,
+            bos_value=cfg.codec_bos_value,
+            delay_pattern=cfg.codec_delay_pattern,
+        )
+        buf = pad_buffer(prefill, frames)
+        res = generate_jit(
+            self.params, cfg, jnp.asarray(ids), jnp.asarray(mask), None,
+            buf, jnp.asarray(steps, jnp.int32), jax.random.PRNGKey(0),
+            max_tokens=frames, min_tokens=jnp.int32(frames),
+            cfg_scale=jnp.float32(10.0), temperature=jnp.float32(1.0),
+            top_p=jnp.float32(1.0), cfg_filter_top_k=45,
+            eos_prob_mul_factor=jnp.float32(1.0), do_sample=False,
+        )
+        codes = np.asarray(res.codes)          # [B, frames, C] delayed-domain
+        n_pre = int(np.asarray(steps)[0])
+        stream = np.concatenate(
+            [np.asarray(prefill)[:, :n_pre], codes], axis=1)
+        stream = np.repeat(stream, 2, axis=0)  # both CFG rows see the audio
+        Tc = stream.shape[1]
+        full_ids = np.concatenate(
+            [ids, np.full((B2, Tc), cfg.codec_placeholder_value, np.int32)],
+            axis=1)
+        full_mask = np.concatenate(
+            [mask, np.ones((B2, Tc), np.int32)], axis=1)
+        codec_full = np.zeros(
+            (B2, full_ids.shape[1], cfg.codec_channels), np.int32)
+        codec_full[:, Tt:] = stream
+        self.params = quantize_experts_int4_gptq(
+            self.params, cfg, jnp.asarray(full_ids),
+            codec_input_ids=jnp.asarray(codec_full),
+            attention_mask=jnp.asarray(full_mask),
+            group_size=group_size, max_calib_tokens=max_calib_tokens)
 
     # ------------------------------------------------------------------
     # Core generation (reference: utils/UniMoE_Audio_mod.py:215-292)

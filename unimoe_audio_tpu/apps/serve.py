@@ -118,10 +118,11 @@ def main():
     parser.add_argument("--ep-size", type=int, default=1)
     parser.add_argument("--tp-size", type=int, default=1)
     parser.add_argument("--quantize", nargs="?", const="int8", default=False,
-                        choices=["int8", "int4"],
+                        choices=["int8", "int4", "int4-gptq"],
                         help="quantized serving path (bare flag = int8; "
-                             "int4 packs expert FFNs as s4 for low-batch "
-                             "latency)")
+                             "int4 packs expert FFNs as s4 for low-batch; "
+                             "int4-gptq self-calibrates the s4 experts "
+                             "(ops/gptq.py) for tighter numerics)")
     parser.add_argument("--allow-random", action="store_true")
     parser.add_argument("--task", default="text_to_music",
                         choices=["text_to_music", "text_to_speech",
