@@ -21,4 +21,5 @@ run int4agg       1800 python tools/probe_int4_agg.py
 run continuous    1800 python tools/probe_continuous.py
 run streamtrain   5400 python tools/run_stream_train_artifact.py
 run decodemfu     2400 python tools/probe_decode_mfu.py
+run kvint8        2400 python tools/probe_kv_int8.py
 echo "battery done $(date -u)"

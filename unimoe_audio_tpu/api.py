@@ -70,6 +70,7 @@ class UniMoEAudio:
         min_tokens: Optional[int] = None,
         serving_mode: bool = False,
         gptq_calibration: Optional[dict] = None,
+        kv_cache_dtype: Optional[str] = None,
     ):
         """serving_mode applies the tuned single-chip serving stack:
         weight-only quantization, lane-padded expert FFNs, and
@@ -88,7 +89,11 @@ class UniMoEAudio:
         "int4", substantially closer logits (docs/STATUS.md); costs one
         short generation + per-layer GPTQ pass at load.
         gptq_calibration overrides the defaults:
-        {"captions": [...], "frames": int, "group_size": int}."""
+        {"captions": [...], "frames": int, "group_size": int}.
+        kv_cache_dtype="int8" stores the decode KV cache int8 with
+        per-(position, head) scales — halves the per-step KV stream,
+        which at 20 s generations (max_tokens≈1000) rivals the int8
+        weight stream (models/layers.KVCache)."""
         del device_id  # JAX targets the default device; kept for API parity
         self.MAX_TOKENS = max_tokens if max_tokens is not None else UniMoEAudio.MAX_TOKENS
         self.MIN_TOKENS = min_tokens if min_tokens is not None else UniMoEAudio.MIN_TOKENS
@@ -97,7 +102,9 @@ class UniMoEAudio:
             model_path, dtype=dtype, allow_random=allow_random, config=config
         )
         assert serving_mode in (False, True, "int8", "int4", "int4-gptq"), serving_mode
+        assert kv_cache_dtype in (None, "int8"), kv_cache_dtype
         self.serving_mode = serving_mode
+        self.kv_cache_dtype = kv_cache_dtype
         self.tokenizer = tokenizer or self._load_tokenizer(model_path)
         if self.tokenizer is None and allow_random:
             # Self-contained dev mode: hash-vocab tokenizer with the special
@@ -423,6 +430,9 @@ class UniMoEAudio:
             if S_pre >= 1024:
                 dispatch_kw["dispatch_mode"] = "packed"
                 dispatch_kw["prefill_capacity"] = -(-int(S_pre * 0.57) // 128) * 128
+
+        if getattr(self, "kv_cache_dtype", None):
+            dispatch_kw["kv_dtype"] = self.kv_cache_dtype
 
         rng = jax.random.PRNGKey(seed if seed is not None else int(time.time() * 1e3) % (2**31))
         # Long generations use the chunked-cache-growth loop: every decode

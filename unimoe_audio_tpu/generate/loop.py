@@ -60,7 +60,7 @@ class _LoopState(NamedTuple):
         "cfg", "max_tokens", "cfg_filter_top_k", "do_sample", "dispatch_mode",
         "debug_guidance_step", "return_state", "cache_len",
         "decode_dispatch_mode", "decode_capacity", "prefill_capacity",
-        "decode_emit",
+        "decode_emit", "kv_dtype",
     ),
 )
 def generate_jit(
@@ -123,6 +123,11 @@ def generate_jit(
     # chunk forwards, which is what speculative decoding verifies against
     # (the two paths agree mathematically but round bf16 differently).
     decode_emit: Optional[bool] = None,
+    # "int8": store the KV cache int8 with per-(position, head) scales
+    # (models/layers.KVCache) — halves the per-step KV stream, which at
+    # long generations (max_tokens≈1000, the 20 s case) rivals the int8
+    # weight stream.  Default keeps the activation dtype (bf16).
+    kv_dtype: Optional[str] = None,
 ) -> GenerateResult:
     tc = cfg.text_config
     B2, T_text = input_ids.shape
@@ -186,7 +191,7 @@ def generate_jit(
 
         cache = KVCache.create(
             tc.num_hidden_layers, B2, T_total, tc.num_key_value_heads, tc.head_dim,
-            dtype=inputs_embeds.dtype,
+            dtype=jnp.int8 if kv_dtype == "int8" else inputs_embeds.dtype,
         )
         if n_pre:
             # Learned prefix KV into cache slots [0, n_pre) — the
@@ -194,12 +199,24 @@ def generate_jit(
             # injection (post-RoPE, positionless); text shifts right.
             pk, pv = prefix_kv  # [L, n, KV, Dh] → cache slice [L, n, B2, KV, Dh]
             shape = (tc.num_hidden_layers, n_pre, B2) + pk.shape[2:]
-            pk_t = jnp.broadcast_to(pk[:, :, None].astype(cache.k.dtype), shape)
-            pv_t = jnp.broadcast_to(pv[:, :, None].astype(cache.v.dtype), shape)
-            cache = KVCache(
-                k=cache.k.at[:, :n_pre].set(pk_t),
-                v=cache.v.at[:, :n_pre].set(pv_t),
-            )
+            if cache.quantized:
+                from ..models.layers import quantize_kv
+
+                qk, sk = quantize_kv(jnp.broadcast_to(pk[:, :, None], shape))
+                qv, sv = quantize_kv(jnp.broadcast_to(pv[:, :, None], shape))
+                cache = KVCache(
+                    k=cache.k.at[:, :n_pre].set(qk),
+                    v=cache.v.at[:, :n_pre].set(qv),
+                    k_scale=cache.k_scale.at[:, :n_pre].set(sk),
+                    v_scale=cache.v_scale.at[:, :n_pre].set(sv),
+                )
+            else:
+                pk_t = jnp.broadcast_to(pk[:, :, None].astype(cache.k.dtype), shape)
+                pv_t = jnp.broadcast_to(pv[:, :, None].astype(cache.v.dtype), shape)
+                cache = KVCache(
+                    k=cache.k.at[:, :n_pre].set(pk_t),
+                    v=cache.v.at[:, :n_pre].set(pv_t),
+                )
             position_ids = position_ids + n_pre
         kv_valid = jnp.concatenate(
             [jnp.ones((B2, n_pre), jnp.int32),
@@ -487,9 +504,14 @@ def generate_chunked(
         cache_len = bucket(frames_bound)
         if state is not None and state.cache.k.shape[1] < cache_len:
             pad = cache_len - state.cache.k.shape[1]
+            pad5 = ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0))
             state = state._replace(cache=KVCache(
-                k=jnp.pad(state.cache.k, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0))),
-                v=jnp.pad(state.cache.v, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0))),
+                k=jnp.pad(state.cache.k, pad5),
+                v=jnp.pad(state.cache.v, pad5),
+                k_scale=(jnp.pad(state.cache.k_scale, pad5[:-1])
+                         if state.cache.quantized else None),
+                v_scale=(jnp.pad(state.cache.v_scale, pad5[:-1])
+                         if state.cache.quantized else None),
             ))
         res, state = generate_jit(
             params, cfg, input_ids, attention_mask, codec_input_ids,

@@ -78,25 +78,73 @@ class KVCache(NamedTuple):
     reads it as a view fused into the attention einsum instead of
     materializing a windowed copy (measured ~5 ms/step dead traffic at
     flagship shapes in the [B, T, ...] layout).
+
+    Optional int8 storage (kv_dtype="int8", beyond the reference): k/v are
+    int8 with per-(position, head) symmetric scales k_scale/v_scale
+    [L, T_max, B, KV] f32 (amax/127 over Dh).  Every decode step streams
+    the live cache prefix, so at long generations (the reference's 20 s
+    headline case) the bf16 KV stream rivals the int8 weight stream —
+    int8 KV halves it.  Scales apply OUTSIDE the attention einsums (on
+    scores / on probs), so XLA still fuses the int8→bf16 convert into the
+    dot reads.  k_scale/v_scale are None in bf16 mode.
     """
 
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
     @classmethod
     def create(cls, num_layers, batch, max_len, kv_heads, head_dim, dtype=jnp.bfloat16):
         shape = (num_layers, max_len, batch, kv_heads, head_dim)
+        if dtype in (jnp.int8, "int8"):
+            return cls(
+                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
         return cls(k=jnp.zeros(shape, dtype=dtype), v=jnp.zeros(shape, dtype=dtype))
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
-def update_cache_slice(cache_k, cache_v, k_new, v_new, start):
+
+def quantize_kv(x: jnp.ndarray):
+    """Symmetric int8 over the trailing Dh: [..., Dh] → (q int8, s f32
+    [...])."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)
+    s = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x32 / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def update_cache_slice(cache_k, cache_v, k_new, v_new, start,
+                       cache_ks=None, cache_vs=None):
     """Write [B, T_new, KV, Dh] into per-layer [T_max, B, KV, Dh] slices at
-    time offset start."""
+    time offset start.  With int8 cache storage (cache_ks/cache_vs given)
+    the fresh k/v quantize on write and the per-position scales land in
+    the matching [T_max, B, KV] slices."""
+    if cache_ks is not None:
+        qk, sk = quantize_kv(k_new)
+        qv, sv = quantize_kv(v_new)
+        k = jax.lax.dynamic_update_slice(
+            cache_k, jnp.swapaxes(qk, 0, 1), (start, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            cache_v, jnp.swapaxes(qv, 0, 1), (start, 0, 0, 0))
+        ks = jax.lax.dynamic_update_slice(
+            cache_ks, jnp.swapaxes(sk, 0, 1).astype(cache_ks.dtype),
+            (start, 0, 0))
+        vs = jax.lax.dynamic_update_slice(
+            cache_vs, jnp.swapaxes(sv, 0, 1).astype(cache_vs.dtype),
+            (start, 0, 0))
+        return k, v, ks, vs
     k_t = jnp.swapaxes(k_new, 0, 1).astype(cache_k.dtype)
     v_t = jnp.swapaxes(v_new, 0, 1).astype(cache_v.dtype)
     k = jax.lax.dynamic_update_slice(cache_k, k_t, (start, 0, 0, 0))
     v = jax.lax.dynamic_update_slice(cache_v, v_t, (start, 0, 0, 0))
-    return k, v
+    return k, v, None, None
 
 
 def attention(
@@ -107,6 +155,7 @@ def attention(
     cfg: TextMoEConfig,
     *,
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # per-layer [B, T_max, KV, Dh]
+    cache_scales: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # per-layer [T_max, B, KV] f32 (int8 cache)
     cache_position: Optional[jnp.ndarray] = None,  # scalar start offset
     kv_valid_mask: Optional[jnp.ndarray] = None,   # [B, T_kv] 1=attendable
     causal: bool = True,
@@ -187,17 +236,24 @@ def attention(
             the trailing Dh of both operands and the PV gemm contracts the
             leading time dim of both — no operand transposes, so XLA reads
             the [0:w] prefix as a fused view (the [B, T, ...] layout
-            measured ~5 ms/step of slice+transpose copies at flagship)."""
+            measured ~5 ms/step of slice+transpose copies at flagship).
+            int8 cache: scales apply on scores (K) and on probs (V), so
+            the einsums stay int8-read + convert-fused."""
             ks = k_all[:w]                          # [w, B, KV, Dh]
             vs = v_all[:w]
             s = jnp.einsum(
                 "sbkd,bkgd->sbkg", ks.astype(qg.dtype), qg
             ).astype(jnp.float32) * scale           # [w, B, KV, g]
+            if cache_scales is not None:
+                s = s * cache_scales[0][:w][..., None]
             valid = window_mask(jnp.arange(w))      # [B, w]
             s = jnp.where(valid.T[:, :, None, None], s, neg)
             all_s = jnp.concatenate([s, self_score[None]], axis=0)
             probs = jax.nn.softmax(all_s, axis=0).astype(x.dtype)
-            o = jnp.einsum("sbkg,sbkd->bkgd", probs[:w], vs.astype(x.dtype))
+            pv = probs[:w]
+            if cache_scales is not None:
+                pv = pv * cache_scales[1][:w][..., None].astype(pv.dtype)
+            o = jnp.einsum("sbkg,sbkd->bkgd", pv, vs.astype(x.dtype))
             return o + probs[w][..., None] * v.reshape(B, KV, 1, Dh).astype(x.dtype)
 
         # Always attend over the whole (right-sized) buffer: callers bound
@@ -251,8 +307,14 @@ def attention(
         return out, None
 
     if cache_kv is not None:
-        k_all, v_all = update_cache_slice(cache_kv[0], cache_kv[1], k, v, cache_position)
-        cache_kv = (k_all, v_all)
+        k_all, v_all, ks_all, vs_all = update_cache_slice(
+            cache_kv[0], cache_kv[1], k, v, cache_position,
+            *(cache_scales if cache_scales is not None else (None, None)))
+        if cache_scales is not None:
+            cache_scales = (ks_all, vs_all)
+            cache_kv = (k_all, v_all, ks_all, vs_all)
+        else:
+            cache_kv = (k_all, v_all)
     else:
         k_all, v_all = k, v
 
@@ -296,6 +358,10 @@ def attention(
     scores = jnp.einsum(
         f"btkgd,{kv_spec}->bkgts", qg, k_all.astype(qg.dtype)
     ).astype(jnp.float32) * scale
+    if cache_kv is not None and cache_scales is not None:
+        # int8 cache: per-(position, head) K scales apply on the scores
+        # ([T_kv, B, KV] → [B, KV, 1, 1, T_kv]).
+        scores = scores * cache_scales[0].transpose(1, 2, 0)[:, :, None, None, :]
 
     neg = jnp.float32(-1e30)
     if kv_valid_mask is not None:
@@ -315,6 +381,9 @@ def attention(
         scores = jnp.where(allowed[None, None, None], scores, neg)
 
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    if cache_kv is not None and cache_scales is not None:
+        probs = probs * cache_scales[1].transpose(1, 2, 0)[
+            :, :, None, None, :].astype(probs.dtype)
     out = jnp.einsum(
         f"bkgts,{kv_spec}->btkgd", probs, v_all.astype(x.dtype)
     ).reshape(B, T, H * Dh)

@@ -37,6 +37,7 @@ from .layers import (
     attention,
     compute_mrope,
     init_attention_params,
+    quantize_kv,
     rms_norm,
 )
 
@@ -120,13 +121,16 @@ def text_model_forward(
             jnp.arange(kv_cache.k.shape[1])[None, :] != cache_position
         ).astype(kv_valid_mask.dtype)
 
+    quantized_cache = use_cache and kv_cache.quantized
+
     def layer_fn(h, xs):
-        lp, layer_rng, is_sliding, cache_k, cache_v, pre_k, pre_v = xs
+        lp, layer_rng, is_sliding, cache_k, cache_v, cache_ks, cache_vs, pre_k, pre_v = xs
         residual = h
         hn = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
         attn_out, new_cache = attention(
             lp["attn"], hn, cos, sin, cfg,
             cache_kv=(cache_k, cache_v) if use_cache else None,
+            cache_scales=(cache_ks, cache_vs) if quantized_cache else None,
             cache_position=cache_position,
             kv_valid_mask=emit_valid if decode_emit else kv_valid_mask,
             use_flash=use_flash,
@@ -169,6 +173,9 @@ def text_model_forward(
         if use_cache:
             if decode_emit:
                 ys["new_k"], ys["new_v"] = new_cache
+            elif quantized_cache:
+                (ys["cache_k"], ys["cache_v"],
+                 ys["cache_ks"], ys["cache_vs"]) = new_cache
             else:
                 ys["cache_k"], ys["cache_v"] = new_cache
         return h, ys
@@ -182,6 +189,8 @@ def text_model_forward(
         sliding_flags,
         kv_cache.k if use_cache else jnp.zeros((L, 0)),
         kv_cache.v if use_cache else jnp.zeros((L, 0)),
+        kv_cache.k_scale if quantized_cache else jnp.zeros((L, 0)),
+        kv_cache.v_scale if quantized_cache else jnp.zeros((L, 0)),
         prefix_kv[0] if prefix_kv is not None else jnp.zeros((L, 0)),
         prefix_kv[1] if prefix_kv is not None else jnp.zeros((L, 0)),
     )
@@ -192,14 +201,31 @@ def text_model_forward(
         zero = jnp.int32(0)
         # ys["new_k"]: [L, B, 1, KV, Dh] → time-major [L, 1, B, KV, Dh].
         start = (zero, cache_position.astype(jnp.int32), zero, zero, zero)
-        new_cache = KVCache(
-            k=jax.lax.dynamic_update_slice(
-                kv_cache.k,
-                jnp.swapaxes(ys["new_k"], 1, 2).astype(kv_cache.k.dtype), start),
-            v=jax.lax.dynamic_update_slice(
-                kv_cache.v,
-                jnp.swapaxes(ys["new_v"], 1, 2).astype(kv_cache.v.dtype), start),
-        )
+        if quantized_cache:
+            qk, sk = quantize_kv(ys["new_k"])   # [L, B, 1, KV(, Dh)]
+            qv, sv = quantize_kv(ys["new_v"])
+            new_cache = KVCache(
+                k=jax.lax.dynamic_update_slice(
+                    kv_cache.k, jnp.swapaxes(qk, 1, 2), start),
+                v=jax.lax.dynamic_update_slice(
+                    kv_cache.v, jnp.swapaxes(qv, 1, 2), start),
+                k_scale=jax.lax.dynamic_update_slice(
+                    kv_cache.k_scale, jnp.swapaxes(sk, 1, 2), start[:-1]),
+                v_scale=jax.lax.dynamic_update_slice(
+                    kv_cache.v_scale, jnp.swapaxes(sv, 1, 2), start[:-1]),
+            )
+        else:
+            new_cache = KVCache(
+                k=jax.lax.dynamic_update_slice(
+                    kv_cache.k,
+                    jnp.swapaxes(ys["new_k"], 1, 2).astype(kv_cache.k.dtype), start),
+                v=jax.lax.dynamic_update_slice(
+                    kv_cache.v,
+                    jnp.swapaxes(ys["new_v"], 1, 2).astype(kv_cache.v.dtype), start),
+            )
+    elif use_cache and quantized_cache:
+        new_cache = KVCache(k=ys["cache_k"], v=ys["cache_v"],
+                            k_scale=ys["cache_ks"], v_scale=ys["cache_vs"])
     elif use_cache:
         new_cache = KVCache(k=ys["cache_k"], v=ys["cache_v"])
     else:
