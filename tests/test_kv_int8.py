@@ -126,3 +126,53 @@ def test_int8_kv_api_end_to_end(tmp_path):
     from unimoe_audio_tpu.codec import audio_io
     a, _ = audio_io.read_wav(paths[0])
     assert np.isfinite(a).all()
+
+
+def test_int8_kv_slot_server_matches_standalone_int8():
+    """The continuous-batching server with kv_dtype="int8": greedy parity
+    vs the same requests decoded standalone with the int8 cache —
+    mid-flight admission (splice writes q+scales) and compaction (scale
+    buffers roll with k/v) included."""
+    from unimoe_audio_tpu.apps.continuous import SlotServer
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from tests.test_continuous import _request, _standalone
+
+    cfg = tiny_test_config(num_hidden_layers=2)
+    params = init_model_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    a = _request(cfg, seed=1, max_tokens=14)
+    b = _request(cfg, seed=2, max_tokens=9, text_len=5)
+    extra = [_request(cfg, seed=10 + i, max_tokens=10) for i in range(3)]
+    srv = SlotServer(params, cfg, slots=2, t_text=8, horizon=48,
+                     chunk_frames=5, do_sample=False, kv_dtype="int8")
+    assert srv.state.cache.quantized
+    srv.submit(a)
+    srv.step()
+    srv.submit(b)
+    for r in extra:
+        srv.submit(r)   # stream larger than the horizon → compaction
+    results = srv.run_until_drained()
+    assert srv.compactions >= 1  # the scale buffers rolled with k/v
+
+    def oracle(req):
+        buf = pad_buffer(jnp.asarray(req.prefill[None]), req.max_tokens)
+        res = generate_jit(
+            params, cfg, jnp.asarray(req.input_ids),
+            jnp.asarray(req.attention_mask), None, buf,
+            jnp.asarray([req.prefill_steps], jnp.int32),
+            jax.random.PRNGKey(0), kv_dtype="int8",
+            max_tokens=req.max_tokens, min_tokens=jnp.int32(req.min_tokens),
+            cfg_scale=jnp.float32(req.cfg_scale),
+            temperature=jnp.float32(req.temperature),
+            top_p=jnp.float32(req.top_p), cfg_filter_top_k=45,
+            eos_prob_mul_factor=jnp.float32(req.eos_prob_mul_factor),
+            sample_seeds=jnp.asarray([req.seed], jnp.int32), do_sample=False,
+        )
+        return np.asarray(res.codes[0]), int(res.lengths[0])
+
+    want = {r.rid: oracle(r) for r in [a, b] + extra}
+    assert set(r.rid for r in results) == set(want)
+    for r in results:
+        codes, length = want[r.rid]
+        assert r.length == length, (r.rid, r.length, length)
+        np.testing.assert_array_equal(r.codes, codes, err_msg=str(r.rid))

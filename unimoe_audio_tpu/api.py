@@ -866,6 +866,7 @@ class UniMoEAudio:
             self.params, self.config, slots=slots, t_text=t_text,
             horizon=horizon or (self.MAX_TOKENS + 512 + 4 * chunk_frames),
             chunk_frames=chunk_frames, do_sample=do_sample,
+            kv_dtype=getattr(self, "kv_cache_dtype", None),
             **dispatch_kw,
         )
 

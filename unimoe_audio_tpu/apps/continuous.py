@@ -104,8 +104,14 @@ class SlotServer:
                  dispatch_mode: str = "dense",
                  decode_dispatch_mode: Optional[str] = None,
                  decode_capacity: Optional[int] = None,
-                 prefill_capacity: Optional[int] = None):
+                 prefill_capacity: Optional[int] = None,
+                 kv_dtype: Optional[str] = None):
+        """kv_dtype="int8" stores the rolling KV cache int8 with
+        per-position scales (models/layers.KVCache) — the server's cache
+        is long-lived and sized for the full horizon, so the decode
+        stream saving is largest here."""
         self.params, self.cfg = params, cfg
+        self.kv_dtype = kv_dtype
         self.S, self.T = slots, t_text
         self.C = cfg.codec_channels
         self.H_frames = horizon
@@ -151,7 +157,8 @@ class SlotServer:
             buf=jnp.full((S, self.buf_len, C), cfg.codec_pad_value, jnp.int32),
             cache=KVCache.create(tc.num_hidden_layers, 2 * S, self.cache_len,
                                  tc.num_key_value_heads, tc.head_dim,
-                                 dtype=params["embed_tokens"].dtype),
+                                 dtype=(jnp.int8 if kv_dtype == "int8"
+                                        else params["embed_tokens"].dtype)),
             eos_detected=jnp.zeros((S,), bool),
             eos_countdown=jnp.zeros((S,), jnp.int32),
             finished_step=jnp.full((S,), -1, jnp.int32),
@@ -255,20 +262,21 @@ class SlotServer:
             cfg_filter_top_k=45, eos_prob_mul_factor=jnp.float32(1.0),
             do_sample=False, dispatch_mode=self.dispatch["dispatch_mode"],
             prefill_capacity=self.dispatch["prefill_capacity"],
+            kv_dtype=self.kv_dtype,
         )
         return st.cache, np.asarray(mask), ids
 
     def _splice(self, slot: int, cache2: KVCache, buf_row: np.ndarray):
         if self._splice_jit is None:
-            def f(state, k2, v2, row, slot_i):
-                cache = KVCache(
-                    k=jax.lax.dynamic_update_slice(
-                        state.cache.k, k2.astype(state.cache.k.dtype),
-                        (0, 0, 2 * slot_i, 0, 0)),
-                    v=jax.lax.dynamic_update_slice(
-                        state.cache.v, v2.astype(state.cache.v.dtype),
-                        (0, 0, 2 * slot_i, 0, 0)),
-                )
+            def f(state, cache2, row, slot_i):
+                def put(dst, src):
+                    # batch dim is axis 2 of both the 5-D k/v and the
+                    # 4-D scale buffers
+                    start = (0, 0, 2 * slot_i, 0, 0)[: dst.ndim]
+                    return jax.lax.dynamic_update_slice(
+                        dst, src.astype(dst.dtype), start)
+
+                cache = jax.tree.map(put, state.cache, cache2)
                 buf = jax.lax.dynamic_update_slice(
                     state.buf, row[None], (slot_i, 0, 0))
                 one = jax.nn.one_hot(slot_i, self.S, dtype=jnp.bool_)
@@ -281,8 +289,7 @@ class SlotServer:
 
             self._splice_jit = jax.jit(f, donate_argnums=(0,))
         self.state = self._splice_jit(
-            self.state, cache2.k, cache2.v, jnp.asarray(buf_row),
-            jnp.int32(slot))
+            self.state, cache2, jnp.asarray(buf_row), jnp.int32(slot))
 
     def _admit(self) -> None:
         d0 = int(self.state.dec_step)
@@ -384,9 +391,9 @@ class SlotServer:
                     head = x[:, :T]
                     body = jnp.roll(x[:, T:], -m_, axis=1)
                     idx = jnp.arange(x.shape[1] - T)
-                    body = jnp.where(
-                        (idx < x.shape[1] - T - m_)[None, :, None, None, None],
-                        body, 0)
+                    keep = (idx < x.shape[1] - T - m_).reshape(
+                        (1, -1) + (1,) * (x.ndim - 2))
+                    body = jnp.where(keep, body, 0)
                     return jnp.concatenate([head, body], axis=1)
 
                 buf = jnp.roll(state.buf, -m_, axis=1)
@@ -396,8 +403,8 @@ class SlotServer:
                 return state._replace(
                     dec_step=state.dec_step - m_,
                     buf=buf,
-                    cache=KVCache(k=roll_time(state.cache.k),
-                                  v=roll_time(state.cache.v)),
+                    # k/v AND (when int8) the scale buffers roll together
+                    cache=jax.tree.map(roll_time, state.cache),
                     # finished_step is an absolute step index: rows caught
                     # mid-EOS-staircase must shift with the origin.
                     finished_step=jnp.where(
