@@ -1,7 +1,18 @@
-"""Probe: aggregate decode RTF at B=88 with int4 (packed s4) expert FFNs.
+"""Probe: aggregate decode RTF config matrix at the bench operating point.
 
-int8 baseline reads ~6.6 GB weights/step (~8 ms of the ~17.8 ms step);
-int4 halves the expert stream. Measures both configs in one process.
+Measures the B=88 packed-dispatch decode (bench.py's headline shape) in
+four serving configurations — experts {int8, int4-packed-s4} × KV cache
+{bf16, int8} — then sweeps batch size upward for the fastest config to
+check whether the per-stream ≥1.1x guarantee admits a larger B.
+
+int8 experts read ~6.6 GB weights/step (~8 ms of the ~17.8 ms step at
+B=88); int4 halves the expert stream.  The bf16 KV stream at the bench's
+short (192-pos) cache is ~0.6 GB/step — int8 KV matters more at long
+horizons (tools/probe_kv_int8.py) but is measured here too because the
+serving default should be one coherent config.
+
+Prints one JSON line per measurement; ends with a summary line carrying
+`int4_vs_int8` (the round-3 decision ratio) and the best (config, B).
 """
 import json
 import sys
@@ -12,6 +23,10 @@ import jax
 import jax.numpy as jnp
 
 import os
+
+TINY = "--tiny" in sys.argv  # CPU smoke mode: tiny config, B=2, 10 steps
+if TINY:
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from unimoe_audio_tpu.config import TextMoEConfig, UniMoEAudioConfig
@@ -24,13 +39,15 @@ from unimoe_audio_tpu.ops.quant import (
 )
 
 FRAME_RATE = 50.0
-B = 88
 T_text = 32
 max_tokens = 150
-DCAP = 112
-PCAP = 3328
 
-cfg = UniMoEAudioConfig(text_config=TextMoEConfig(), vision_config=None)
+if TINY:
+    from unimoe_audio_tpu.config import tiny_test_config
+    cfg = tiny_test_config(num_hidden_layers=2)
+    max_tokens, T_text = 10, 4
+else:
+    cfg = UniMoEAudioConfig(text_config=TextMoEConfig(), vision_config=None)
 t0 = time.time()
 params = jax.jit(lambda k: init_model_params(k, cfg, dtype=jnp.bfloat16))(
     jax.random.PRNGKey(0))
@@ -39,46 +56,107 @@ params = quantize_model_params_inplace(params)
 params = pad_expert_ffn(params)
 print(f"init+quant {time.time()-t0:.0f}s", flush=True)
 
-ids = jnp.asarray(np.random.default_rng(0).integers(
-    0, cfg.text_config.vocab_size - 1, size=(2 * B, T_text)))
-attn = jnp.ones((2 * B, T_text), dtype=jnp.int32)
-prefill, steps = dl.prepare_audio_prompt(
-    [None] * B, num_channels=cfg.codec_channels,
-    bos_value=cfg.codec_bos_value, delay_pattern=cfg.codec_delay_pattern)
-buf = pad_buffer(prefill, max_tokens)
-steps = jnp.asarray(steps, jnp.int32)
 
-kwargs = dict(
-    max_tokens=max_tokens, min_tokens=jnp.int32(max_tokens), do_sample=True,
-    dispatch_mode="packed", prefill_capacity=PCAP,
-    decode_dispatch_mode="packed", decode_capacity=DCAP,
-    cfg_scale=jnp.float32(10.0), temperature=jnp.float32(1.0),
-    top_p=jnp.float32(1.0), cfg_filter_top_k=45,
-    eos_prob_mul_factor=jnp.float32(0.6),
-)
+def inputs(B):
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.text_config.vocab_size - 1, size=(2 * B, T_text)))
+    attn = jnp.ones((2 * B, T_text), dtype=jnp.int32)
+    prefill, steps = dl.prepare_audio_prompt(
+        [None] * B, num_channels=cfg.codec_channels,
+        bos_value=cfg.codec_bos_value, delay_pattern=cfg.codec_delay_pattern)
+    return ids, attn, pad_buffer(prefill, max_tokens), \
+        jnp.asarray(steps, jnp.int32)
 
 
-def measure(p, tag):
-    r = generate_jit(p, cfg, ids, attn, None, buf, steps,
-                     jax.random.PRNGKey(1), **kwargs)
-    jax.block_until_ready(r.codes)
-    best = 1e9
-    for i in range(3):
-        t0 = time.time()
+def measure(p, tag, B, kv_dtype=None):
+    """One (config, B) point: compile + 3 timed runs, prints a JSON line.
+
+    Returns (rtf, step_s) or None on failure (e.g. HBM OOM at large B) —
+    the matrix keeps going so one infeasible point doesn't cost the rest.
+    """
+    # Capacity scales with the token count (2B rows): B=88 uses the
+    # bench's proven 112 decode slots / 3328 prefill slots.
+    dcap = max(int(round(112 * B / 88 / 8)) * 8, 8)
+    pcap = max(int(round(3328 * B / 88 / 128)) * 128, 128)
+    kwargs = dict(
+        max_tokens=max_tokens, min_tokens=jnp.int32(max_tokens),
+        do_sample=True, dispatch_mode="packed", prefill_capacity=pcap,
+        decode_dispatch_mode="packed", decode_capacity=dcap,
+        cfg_scale=jnp.float32(10.0), temperature=jnp.float32(1.0),
+        top_p=jnp.float32(1.0), cfg_filter_top_k=45,
+        eos_prob_mul_factor=jnp.float32(0.6),
+    )
+    if kv_dtype:
+        kwargs["kv_dtype"] = kv_dtype
+    ids, attn, buf, steps = inputs(B)
+    try:
         r = generate_jit(p, cfg, ids, attn, None, buf, steps,
-                         jax.random.PRNGKey(2 + i), **kwargs)
+                         jax.random.PRNGKey(1), **kwargs)
         jax.block_until_ready(r.codes)
-        best = min(best, (time.time() - t0) / int(r.steps))
+        best = 1e9
+        for i in range(3):
+            t0 = time.time()
+            r = generate_jit(p, cfg, ids, attn, None, buf, steps,
+                             jax.random.PRNGKey(2 + i), **kwargs)
+            jax.block_until_ready(r.codes)
+            best = min(best, (time.time() - t0) / int(r.steps))
+    except Exception as e:  # noqa: BLE001 — OOM at large B is expected
+        print(json.dumps({"config": tag, "B": B,
+                          "error": f"{type(e).__name__}: {e}"[:300]}),
+              flush=True)
+        return None
     rtf = B / best / FRAME_RATE
-    print(json.dumps({f"agg_rtf_{tag}": round(rtf, 2),
-                      f"step_ms_{tag}": round(best * 1e3, 2)}), flush=True)
-    return rtf
+    print(json.dumps({
+        "config": tag, "B": B,
+        "agg_rtf": round(rtf, 2),
+        "step_ms": round(best * 1e3, 2),
+        "per_stream_rtf": round(1.0 / best / FRAME_RATE, 3),
+    }), flush=True)
+    return rtf, best
 
 
-rtf8 = measure(params, "int8")
+results = {}
+B0 = 2 if TINY else 88
+
+# --- the four configs at the bench's B=88 operating point -------------
+r = measure(params, "int8", B0)
+rtf8 = r[0] if r else 0.0
+r = measure(params, "int8+kv8", B0, kv_dtype="int8")
+if r:
+    results["int8+kv8"] = r
+
 t0 = time.time()
 params4 = requantize_experts_int4_inplace(params)
 del params
 print(f"int4 requant {time.time()-t0:.0f}s", flush=True)
-rtf4 = measure(params4, "int4")
-print(json.dumps({"int4_vs_int8": round(rtf4 / rtf8, 3)}), flush=True)
+
+r4 = measure(params4, "int4", B0)
+rtf4 = r4[0] if r4 else 0.0
+if r4:
+    results["int4"] = r4
+r = measure(params4, "int4+kv8", B0, kv_dtype="int8")
+if r:
+    results["int4+kv8"] = r
+if rtf8:
+    print(json.dumps({"int4_vs_int8": round(rtf4 / rtf8, 3)}), flush=True)
+
+# --- batch sweep on the fastest config: does per-stream >=1.1x admit a
+# larger B?  (per_stream = 1/(step_s * 50) must stay >= 1.1)
+if results and not TINY:
+    best_tag = max(results, key=lambda k: results[k][0])
+    kv = "int8" if best_tag.endswith("kv8") else None
+    for B in (112, 128):
+        r = measure(params4, best_tag, B, kv_dtype=kv)
+        if r is None:
+            break
+        if 1.0 / (r[1] * FRAME_RATE) < 1.1:
+            print(json.dumps({"B_sweep_stop": B,
+                              "reason": "per_stream_rtf < 1.1"}), flush=True)
+            break
+        results[f"{best_tag}@B{B}"] = r
+
+if results:
+    best = max(results, key=lambda k: results[k][0])
+    print(json.dumps({"best_config": best,
+                      "best_agg_rtf": round(results[best][0], 2)}),
+          flush=True)
