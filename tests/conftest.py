@@ -17,6 +17,17 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# Persistent compilation cache: the per-module jax.clear_caches() below
+# (segfault workaround) makes the suite recompile the same programs many
+# times; a disk cache cuts a warm full run roughly in half (measured
+# 83 s -> 33 s on tests/test_kv_int8.py).  Opt out: UNIMOE_NO_COMPILE_CACHE=1.
+if not os.environ.get("UNIMOE_NO_COMPILE_CACHE"):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/unimoe_jax_cache")
+    # The XLA:CPU AOT loader logs a benign machine-feature-mismatch ERROR
+    # (+prefer-no-scatter/gather pseudo-features) for every cache hit —
+    # silence the C++ log; Python exceptions still surface normally.
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
