@@ -359,3 +359,27 @@ def test_submit_rejects_oversized_request():
                      chunk_frames=4)
     with pytest.raises(ValueError, match="horizon"):
         srv.submit(_request(cfg, seed=5, max_tokens=64))
+
+
+def test_mesh_sharded_continuous_server_matches_standalone():
+    """Continuous batching on an ep*tp GSPMD mesh: the slot server's
+    jitted step runs with mesh-sharded (int8 QTensor) params — splice,
+    compaction, and donation all compose with NamedSharding leaves — and
+    greedy results match standalone decoding with the SAME sharded
+    params (identical reduction grouping, so parity is exact on CPU)."""
+    from unimoe_audio_tpu.ops.quant import quantize_model_params_inplace
+    from unimoe_audio_tpu.parallel.mesh import make_mesh, shard_params
+
+    cfg = _cfg()
+    params = quantize_model_params_inplace(_params(cfg))
+    mesh = make_mesh(1, 2, 2)      # (data, expert, model)
+    params = shard_params(params, mesh, cfg)
+    a = _request(cfg, seed=11, max_tokens=14)
+    b = _request(cfg, seed=12, max_tokens=9, text_len=5)
+    srv = SlotServer(params, cfg, slots=2, t_text=T_TEXT, horizon=64,
+                     chunk_frames=5, do_sample=False)
+    srv.submit(a)
+    srv.step()                      # a decodes alone
+    srv.submit(b)                   # admitted mid-flight
+    results = srv.run_until_drained()
+    _check(results, {r.rid: _standalone(params, cfg, r) for r in (a, b)})
