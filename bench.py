@@ -253,7 +253,13 @@ def deep_train_probe(moment_dtype: str = "int8"):
     }))
 
 
-def main():
+def main(agg: str = "int8"):
+    """agg picks the aggregate-headline serving config:
+    "int8" | "int8+kv8" | "int4" | "int4+kv8" — experts int8 or packed-s4
+    int4 (identical runtime layout to the quality-audited int4-gptq mode),
+    KV cache bf16 or int8 (models/layers.KVCache).  The default is the
+    measured-best config that holds the per-stream >=1.1x guarantee
+    (tools/probe_int4_agg.py matrix)."""
     import subprocess
 
     import numpy as np
@@ -418,17 +424,25 @@ def main():
         jax.block_until_ready(r.codes)
         best_ss = min(best_ss, (time.time() - t0) / int(r.steps))
     extra["single_stream_rtf"] = round(1.0 / best_ss / FRAME_RATE, 2)
-    del params4
+    # Keep only the param set the aggregate headline needs — int8 model +
+    # int4 experts together (~8.5 GB) would crowd the B=88 KV + workspace.
+    if agg.startswith("int4"):
+        params = params4
+    else:
+        del params4
     import gc as _gc
     _gc.collect()
 
     # ---- headline: aggregate decode RTF, B=88, packed dispatch ---------
+    extra["agg_config"] = agg
     ids, attn, buf, steps = inputs(B, max_tokens)
     kwargs = dict(
         max_tokens=max_tokens, min_tokens=jnp.int32(max_tokens), do_sample=True,
         dispatch_mode="packed", prefill_capacity=PCAP,
         decode_dispatch_mode="packed", decode_capacity=DCAP, **common,
     )
+    if agg.endswith("+kv8"):
+        kwargs["kv_dtype"] = "int8"
     res = generate_jit(params, cfg, ids, attn, None, buf, steps,
                        jax.random.PRNGKey(1), **kwargs)
     jax.block_until_ready(res.codes)
@@ -446,7 +460,7 @@ def main():
     rtf = B * steps_per_sec / FRAME_RATE
     extra["per_stream_rtf"] = round(steps_per_sec / FRAME_RATE, 3)
     print(json.dumps({
-        "metric": f"audio-sec/sec/chip (aggregate decode RTF, int8+packed "
+        "metric": f"audio-sec/sec/chip (aggregate decode RTF, {agg}+packed "
                   f"serving, B={B}, {cfg.text_config.num_hidden_layers}L "
                   f"flagship cfg)",
         "value": round(rtf, 3),
@@ -468,8 +482,10 @@ if __name__ == "__main__":
             if "--moments" in sys.argv else "int8"
         stream_train_probe(gas=gas, moment_dtype=mdt)
     else:
+        agg = sys.argv[sys.argv.index("--agg") + 1] \
+            if "--agg" in sys.argv else "int8"
         try:
-            main()
+            main(agg=agg)
         except Exception as e:  # noqa: BLE001
             # Backend outages (e.g. `UNAVAILABLE: TPU backend setup/compile
             # error`, which persisted for hours on 2026-08-17/18) would
