@@ -174,6 +174,14 @@ class SlotServer:
         self._wait_s = np.zeros((S,), np.float64)
         self._splice_jit = None
         self._compact_jit = None
+        # Host mirrors of the loop-control state, refreshed in ONE
+        # device_get per chunk (device->host fetches cost ~30 ms each over
+        # the axon tunnel; separate int()/np.asarray() pulls in
+        # step/_admit/_retire were 4-5 round trips per chunk).  Kept exact:
+        # _splice and _compact apply the same updates host-side.
+        self._dec_h = 0
+        self._cd_h = np.zeros((S,), np.int32)
+        self._fin_h = np.full((S,), -1, np.int32)
 
     # -- request intake ---------------------------------------------------
     def submit(self, req: SlotRequest) -> None:
@@ -215,6 +223,7 @@ class SlotServer:
                     eos_countdown=self.state.eos_countdown.at[slot].set(0),
                     eos_detected=self.state.eos_detected.at[slot].set(True),
                 )
+                self._cd_h[slot] = 0
                 return True
         return False
 
@@ -290,9 +299,11 @@ class SlotServer:
             self._splice_jit = jax.jit(f, donate_argnums=(0,))
         self.state = self._splice_jit(
             self.state, cache2, jnp.asarray(buf_row), jnp.int32(slot))
+        self._cd_h[slot] = -1
+        self._fin_h[slot] = -1
 
     def _admit(self) -> None:
-        d0 = int(self.state.dec_step)
+        d0 = self._dec_h
         for slot in range(self.S):
             if self.active[slot] or not self.queue:
                 continue
@@ -346,8 +357,7 @@ class SlotServer:
 
     # -- retirement -------------------------------------------------------
     def _retire(self) -> None:
-        cd = np.asarray(self.state.eos_countdown)
-        fin = np.asarray(self.state.finished_step)
+        cd, fin = self._cd_h, self._fin_h
         buf = None
         for slot in range(self.S):
             if not self.active[slot] or cd[slot] != 0:
@@ -378,7 +388,7 @@ class SlotServer:
         """Drop the dead decode prefix [T, T + m): slots below every active
         row's decode_start hold only retired rows' KV."""
         if not self.active.any():
-            m = int(self.state.dec_step)
+            m = self._dec_h
         else:
             m = int(self.d_start[self.active].min()) - self.T
         if m <= 0:
@@ -421,12 +431,16 @@ class SlotServer:
         for v in (self.ps, self.min_vec, self.mt_vec, self.seed_off):
             v -= m
         self.d_start = np.maximum(self.d_start - m, self.T)
+        # Host mirrors shift exactly as the jit did.
+        self._dec_h -= m
+        self._fin_h = np.where(self._fin_h >= 0, self._fin_h - m,
+                               self._fin_h).astype(np.int32)
 
     # -- the chunk loop ---------------------------------------------------
     def step(self) -> List[SlotResult]:
         """Run one chunk: compact if needed, admit, decode `chunk_frames`
         steps, retire.  Returns results completed this chunk."""
-        if int(self.state.dec_step) + self.chunk + 2 >= self.H_frames \
+        if self._dec_h + self.chunk + 2 >= self.H_frames \
                 or (self.queue and not self.active.all()):
             self._compact()
         self._admit()
@@ -436,7 +450,7 @@ class SlotServer:
             # offset (d_start - T) keeps positions row-relative.
             rd = (self.base_delta - (self.d_start.repeat(2) - self.T)
                   ).astype(np.int32)
-            stop = jnp.int32(int(self.state.dec_step) + self.chunk)
+            stop = jnp.int32(self._dec_h + self.chunk)
             _, st = generate_jit(
                 self.params, self.cfg,
                 jnp.asarray(self.input_ids), jnp.asarray(self.attention_mask),
@@ -461,6 +475,14 @@ class SlotServer:
                 **{k: v for k, v in self.dispatch.items() if v is not None},
             )
             self.state = st
+            # ONE round trip refreshes every loop-control mirror.
+            dec, cd, fin = jax.device_get(
+                (st.dec_step, st.eos_countdown, st.finished_step))
+            self._dec_h = int(dec)
+            # np.array: device_get may return read-only buffer views and
+            # the mirrors are mutated by _splice/cancel.
+            self._cd_h = np.array(cd, dtype=np.int32)
+            self._fin_h = np.array(fin, dtype=np.int32)
             self._retire()
         return self.results[n_before:]
 
