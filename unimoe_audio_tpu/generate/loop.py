@@ -521,8 +521,10 @@ def generate_chunked(
             max_tokens=max_tokens, cache_len=cache_len, return_state=True,
             **kwargs,
         )
-        dec_step = int(state.dec_step)
-        done = bool(np.asarray(state.eos_countdown == 0).all()) or dec_step >= max_tokens
+        # One round trip for both loop-control reads (tunnel fetches cost
+        # ~30 ms each on the axon TPU).
+        dec_step, cd = jax.device_get((state.dec_step, state.eos_countdown))
+        done = bool((cd == 0).all()) or int(dec_step) >= max_tokens
         if done:
             return (res, state) if return_state else res
         stop += chunk_frames

@@ -77,8 +77,12 @@ def generate_stream(
             None, None, None, None, state, jnp.int32(stop),
             **kwargs,
         )
-        dec_step = int(state.dec_step)
-        done = bool(np.asarray(state.eos_countdown == 0).all()) or dec_step >= max_tokens
+        # One round trip for every per-chunk control read (tunnel fetches
+        # cost ~30 ms each on the axon TPU).
+        dec_step, cd, lengths = jax.device_get(
+            (state.dec_step, state.eos_countdown, res.lengths))
+        dec_step = int(dec_step)
+        done = bool((cd == 0).all()) or dec_step >= max_tokens
 
         # Frames final so far: the EOS machine may still rewrite the last
         # max_delay steps, so hold those back until done.  At done, trim to
@@ -86,7 +90,7 @@ def generate_stream(
         # EOS/PAD, not audio (the batch path drops them via lengths +
         # the [:-max_delay] strip in generate_output).
         produced = dec_step - start            # delayed-domain steps decoded
-        lengths = np.asarray(res.lengths)
+        lengths = np.asarray(lengths)
         safe = int(lengths.max()) if done else max(0, produced - max_delay)
         if safe > emitted:
             # Revert the delay over [emitted, safe) with lookahead.
