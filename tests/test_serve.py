@@ -194,3 +194,23 @@ def test_serve_cli_full_task_surface(tmp_path, monkeypatch, capsys):
     assert out["outputs"][0] and out["outputs"][0].endswith(".wav")
     assert out["outputs"][1] is None
     assert out["errors"] and out["errors"][0]["index"] == 1
+
+
+def test_mesh_served_int8_kv_generation(tmp_path):
+    """--kv-cache int8 through build_server on an ep*tp mesh: the decode
+    KV cache is int8 (per-position scales) while params ride the mesh."""
+    cfg = tiny_test_config(
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=2,
+        mlp_dynamic_expert_num=4, dynamic_intermediate_size=64,
+        shared_intermediate_size=32,
+    )
+    model = build_server(
+        None, ep_size=2, tp_size=2, allow_random=True, quantize=True,
+        tokenizer=StubTokenizer(cfg), config=cfg, max_tokens=16,
+        min_tokens=4, kv_cache="int8",
+    )
+    assert model.kv_cache_dtype == "int8"
+    paths = model.text_to_music("served melody", output_dir=str(tmp_path),
+                                seed=0)
+    audio, _ = audio_io.read_wav(paths[0])
+    assert np.isfinite(audio).all()

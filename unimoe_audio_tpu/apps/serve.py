@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspa
 def build_server(model_path: Optional[str], *, ep_size: int = 1, tp_size: int = 1,
                  allow_random: bool = False, quantize=False,
                  tokenizer=None, config=None, max_tokens: int = 1000,
-                 min_tokens: int = 100):
+                 min_tokens: int = 100, kv_cache: str = None):
     """Load + shard a model for serving; returns the UniMoEAudio instance."""
     import jax
 
@@ -43,6 +43,10 @@ def build_server(model_path: Optional[str], *, ep_size: int = 1, tp_size: int = 
         # capacity-packed dispatch (the bench configuration); "int4" packs
         # the expert FFNs as s4 for the low-batch latency operating point.
         serving_mode=quantize,
+        # kv_cache="int8" stores the decode KV cache int8 with
+        # per-position scales — halves the per-step KV stream, which at
+        # long generations rivals the int8 weight stream.
+        kv_cache_dtype=kv_cache,
     )
 
     n_dev = len(jax.devices())
@@ -123,6 +127,10 @@ def main():
                              "int4 packs expert FFNs as s4 for low-batch; "
                              "int4-gptq self-calibrates the s4 experts "
                              "(ops/gptq.py) for tighter numerics)")
+    parser.add_argument("--kv-cache", default=None, choices=["int8"],
+                        help="int8 KV cache with per-position scales "
+                             "(halves the decode KV stream; largest win "
+                             "on long generations and --continuous)")
     parser.add_argument("--allow-random", action="store_true")
     parser.add_argument("--task", default="text_to_music",
                         choices=["text_to_music", "text_to_speech",
@@ -166,6 +174,7 @@ def main():
     model = build_server(
         args.model, ep_size=args.ep_size, tp_size=args.tp_size,
         allow_random=args.allow_random, quantize=args.quantize,
+        kv_cache=args.kv_cache,
     )
     if args.measure_latency:
         print(json.dumps(measure_ttfa(model)))
