@@ -121,6 +121,8 @@ B0 = 2 if TINY else 88
 # --- the four configs at the bench's B=88 operating point -------------
 r = measure(params, "int8", B0)
 rtf8 = r[0] if r else 0.0
+if r:
+    results["int8"] = r
 r = measure(params, "int8+kv8", B0, kv_dtype="int8")
 if r:
     results["int8+kv8"] = r
@@ -144,16 +146,30 @@ if rtf8:
 # larger B?  (per_stream = 1/(step_s * 50) must stay >= 1.1)
 if results and not TINY:
     best_tag = max(results, key=lambda k: results[k][0])
-    kv = "int8" if best_tag.endswith("kv8") else None
-    for B in (112, 128):
-        r = measure(params4, best_tag, B, kv_dtype=kv)
-        if r is None:
-            break
-        if 1.0 / (r[1] * FRAME_RATE) < 1.1:
-            print(json.dumps({"B_sweep_stop": B,
-                              "reason": "per_stream_rtf < 1.1"}), flush=True)
-            break
-        results[f"{best_tag}@B{B}"] = r
+    if not best_tag.startswith("int4"):
+        # Only params4 (int4 experts) is still resident — the int8 set
+        # was destroyed by the in-place requantize.  Sweeping it under an
+        # int8 label would report mislabeled data; sweep the best int4
+        # config instead and say so.
+        print(json.dumps({"B_sweep_note":
+                          f"best at B={B0} is {best_tag}; sweeping the "
+                          "best int4 config (int8 params freed)"}),
+              flush=True)
+        int4_tags = [t for t in results if t.startswith("int4")]
+        best_tag = max(int4_tags, key=lambda k: results[k][0]) \
+            if int4_tags else None
+    if best_tag:
+        kv = "int8" if best_tag.endswith("kv8") else None
+        for B in (112, 128):
+            r = measure(params4, best_tag, B, kv_dtype=kv)
+            if r is None:
+                break
+            if 1.0 / (r[1] * FRAME_RATE) < 1.1:
+                print(json.dumps({"B_sweep_stop": B,
+                                  "reason": "per_stream_rtf < 1.1"}),
+                      flush=True)
+                break
+            results[f"{best_tag}@B{B}"] = r
 
 if results:
     best = max(results, key=lambda k: results[k][0])

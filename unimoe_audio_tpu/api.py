@@ -45,6 +45,24 @@ SPECIAL_TOKENS = [
 ]
 
 
+T2M_NEGATIVE_CAPTION = "Low quality."
+
+
+def music_span(caption: str) -> str:
+    """The caption markup every music prompt embeds."""
+    return "<|MUSIC_START|>" + caption + "<|MUSIC_END|>"
+
+
+def t2m_prompt(caption: str) -> str:
+    """The ONE T2M serving prompt layout — shared by every T2M entry
+    point (batch, stream, speculative, TTFA harness) AND the int4-gptq
+    calibration pass, which must quantize against exactly this
+    distribution: a template edit here changes serving and calibration
+    together."""
+    return SYSTEM_MESSAGE + INPUT_FORMAT.format(music_span(caption)) \
+        + AUDIO_START
+
+
 def _bucket(n: int, step: int = 64) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
@@ -284,16 +302,11 @@ class UniMoEAudio:
 
         cfg = self.config
         captions = captions or self.GPTQ_CALIB_CAPTIONS
-        neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-            "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
+        neg = t2m_prompt(T2M_NEGATIVE_CAPTION)
         text_input = []
         for c in captions:
             text_input.append(neg)
-            text_input.append(
-                SYSTEM_MESSAGE
-                + INPUT_FORMAT.format("<|MUSIC_START|>" + c + "<|MUSIC_END|>")
-                + AUDIO_START
-            )
+            text_input.append(t2m_prompt(c))
         ids, mask = self._tokenize(text_input)
         B2, Tt = ids.shape
         prefill, steps = dl.prepare_audio_prompt(
@@ -535,17 +548,11 @@ class UniMoEAudio:
             print("Please enter a music description.")
             return []
 
-        neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-            "<|MUSIC_START|>Low quality.<|MUSIC_END|>"
-        ) + AUDIO_START
+        neg = t2m_prompt(T2M_NEGATIVE_CAPTION)
         text_input = []
         for c in caption:
             text_input.append(neg)
-            text_input.append(
-                SYSTEM_MESSAGE
-                + INPUT_FORMAT.format("<|MUSIC_START|>" + c + "<|MUSIC_END|>")
-                + AUDIO_START
-            )
+            text_input.append(t2m_prompt(c))
         ids, mask = self._tokenize(text_input)
         t0 = time.time()
         paths = self._generate_core(
@@ -574,10 +581,8 @@ class UniMoEAudio:
         streams status text, web_demo.py)."""
         from .generate.streaming import generate_stream
 
-        neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-            "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
-        pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-            "<|MUSIC_START|>" + caption + "<|MUSIC_END|>") + AUDIO_START
+        neg = t2m_prompt(T2M_NEGATIVE_CAPTION)
+        pos = t2m_prompt(caption)
         ids, mask = self._tokenize([neg, pos])
         rng = jax.random.PRNGKey(seed if seed is not None else 0)
         yield from generate_stream(
@@ -587,6 +592,7 @@ class UniMoEAudio:
             temperature=temperature, top_p=top_p,
             cfg_filter_top_k=cfg_filter_top_k,
             eos_prob_mul_factor=eos_prob_mul_factor, dac=self.dac,
+            kv_dtype=getattr(self, "kv_cache_dtype", None),
         )
 
     def text_to_speech(
@@ -733,11 +739,10 @@ class UniMoEAudio:
             )
             neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
                 video_span + DEFAULT_VIDEO_PROMPT.format(
-                    "<|MUSIC_START|>Low quality.<|MUSIC_END|>")
+                    music_span(T2M_NEGATIVE_CAPTION))
             ) + AUDIO_START
             pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-                video_span + DEFAULT_VIDEO_PROMPT.format(
-                    "<|MUSIC_START|>" + c + "<|MUSIC_END|>")
+                video_span + DEFAULT_VIDEO_PROMPT.format(music_span(c))
             ) + AUDIO_START
             text_input.extend([neg, pos])
             all_feats.extend([feats, feats])     # video repeated for the CFG pair
@@ -797,10 +802,8 @@ class UniMoEAudio:
         mt = int(max_audio_seconds * 50) if max_audio_seconds else self.MAX_TOKENS
         mn = int(min_audio_seconds * 50) if min_audio_seconds else self.MIN_TOKENS
         draft_layers = draft_layers or max(1, cfg.text_config.num_hidden_layers // 4)
-        neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-            "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
-        pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-            "<|MUSIC_START|>" + caption + "<|MUSIC_END|>") + AUDIO_START
+        neg = t2m_prompt(T2M_NEGATIVE_CAPTION)
+        pos = t2m_prompt(caption)
         ids, mask = self._tokenize([neg, pos])
         prefill, steps = dl.prepare_audio_prompt(
             [None], num_channels=cfg.codec_channels,
@@ -859,6 +862,13 @@ class UniMoEAudio:
                 and S_dec >= 64):
             dispatch_kw["decode_dispatch_mode"] = "packed"
             dispatch_kw["decode_capacity"] = -(-int(S_dec * 0.64) // 16) * 16
+            # Packed capacity drops couple co-resident rows: a request's
+            # output may depend on batch load.  Say so once rather than
+            # silently voiding the narrow-server reproducibility guarantee.
+            print(f"continuous_server: slots={slots} uses capacity-packed "
+                  "decode dispatch (aggregate-throughput config); outputs "
+                  "may vary with co-resident load — pass deterministic=True "
+                  "for dropless per-request-reproducible serving")
 
         # Default horizon: budget + voice-clone-prompt headroom (a 10 s
         # prompt is ~500 delayed frames) + admission slack.
@@ -915,10 +925,10 @@ class UniMoEAudio:
                     + "<|vision_end|>")
             neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
                 span + DEFAULT_VIDEO_PROMPT.format(
-                    "<|MUSIC_START|>Low quality.<|MUSIC_END|>")) + AUDIO_START
+                    music_span(T2M_NEGATIVE_CAPTION))) + AUDIO_START
             pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
                 span + DEFAULT_VIDEO_PROMPT.format(
-                    "<|MUSIC_START|>" + caption + "<|MUSIC_END|>")) + AUDIO_START
+                    music_span(caption))) + AUDIO_START
             ids, mask = self._tokenize([neg, pos])
             D = self.params["embed_tokens"].shape[-1]
             ve = np.zeros((2, ids.shape[1], D), np.float32)
@@ -936,10 +946,8 @@ class UniMoEAudio:
             cfg_scale = 10.0 if cfg_scale is None else cfg_scale
             eosf = 0.6 if eos_prob_mul_factor is None else eos_prob_mul_factor
         elif task in ("text_to_music", "t2m"):
-            neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-                "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
-            pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-                "<|MUSIC_START|>" + caption + "<|MUSIC_END|>") + AUDIO_START
+            neg = t2m_prompt(T2M_NEGATIVE_CAPTION)
+            pos = t2m_prompt(caption)
             codec_flat = None
             cfg_scale = 10.0 if cfg_scale is None else cfg_scale
             eosf = 0.6 if eos_prob_mul_factor is None else eos_prob_mul_factor
@@ -1061,10 +1069,8 @@ class UniMoEAudio:
 
             if task == "text_to_music":
                 c = r["caption"]
-                neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-                    "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
-                pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-                    "<|MUSIC_START|>" + c + "<|MUSIC_END|>") + AUDIO_START
+                neg = t2m_prompt(T2M_NEGATIVE_CAPTION)
+                pos = t2m_prompt(c)
                 texts.extend([neg, pos])
                 video_feats.extend([None, None])
             elif task == "text_to_speech":
@@ -1117,10 +1123,9 @@ class UniMoEAudio:
                 n_tok = patches.shape[0] // m2
                 span = "<|vision_start|>" + "<|video_pad|>" * n_tok + "<|vision_end|>"
                 neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-                    span + "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
+                    span + music_span(T2M_NEGATIVE_CAPTION)) + AUDIO_START
                 pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-                    span + "<|MUSIC_START|>" + r["caption"] + "<|MUSIC_END|>"
-                ) + AUDIO_START
+                    span + music_span(r["caption"])) + AUDIO_START
                 texts.extend([neg, pos])
                 video_feats.extend([feats, feats])
                 grids.extend([grid, grid])

@@ -71,15 +71,13 @@ def measure_ttfa(model, *, n_trials: int = 5, text: str = "A peaceful piano melo
     import jax
     import jax.numpy as jnp
 
-    from unimoe_audio_tpu.api import AUDIO_START, INPUT_FORMAT, SYSTEM_MESSAGE
+    from unimoe_audio_tpu.api import T2M_NEGATIVE_CAPTION, t2m_prompt
     from unimoe_audio_tpu.codec import delay as dl
     from unimoe_audio_tpu.generate.loop import generate_jit, pad_buffer
 
     cfg = model.config
-    neg = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-        "<|MUSIC_START|>Low quality.<|MUSIC_END|>") + AUDIO_START
-    pos = SYSTEM_MESSAGE + INPUT_FORMAT.format(
-        "<|MUSIC_START|>" + text + "<|MUSIC_END|>") + AUDIO_START
+    neg = t2m_prompt(T2M_NEGATIVE_CAPTION)
+    pos = t2m_prompt(text)
     ids, mask = model._tokenize([neg, pos])
     prefill, steps = dl.prepare_audio_prompt(
         [None], num_channels=cfg.codec_channels,

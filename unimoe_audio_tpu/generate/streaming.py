@@ -40,6 +40,7 @@ def generate_stream(
     eos_prob_mul_factor: float = 0.6,
     do_sample: bool = True,
     dac=None,
+    kv_dtype: str = None,
 ) -> Iterator[Dict]:
     """Yields dicts per chunk:
       {"frames": np[B, n_new, C] delay-reverted codes,
@@ -65,6 +66,8 @@ def generate_stream(
         eos_prob_mul_factor=jnp.float32(eos_prob_mul_factor),
         do_sample=do_sample, return_state=True,
     )
+    if kv_dtype:
+        kwargs["kv_dtype"] = kv_dtype
 
     state = None
     emitted = 0  # frames already yielded (audio-frame domain)

@@ -336,7 +336,19 @@ def pad_expert_ffn(params: Dict, multiple: int = 128) -> Dict:
         pads = [(0, 0)] * q.ndim
         pads[axis] = (0, Fp - F)
         if isinstance(w, QTensor):
-            qp = jax.jit(lambda x: jnp.pad(x, pads))(w.q)
+            if q.dtype == jnp.int4:
+                # Keep the PACKED s4 layout through the pad: a plain jit
+                # would emit sub_byte=0 (byte-per-nibble, bandwidth win
+                # gone) and the result could never be relayouted (the
+                # 0→4 s4 device_put recursion).
+                out_shape = list(q.shape)
+                out_shape[axis % q.ndim] = Fp
+                fmt = packed_int4_format(tuple(out_shape), q.sharding)
+                qp = jax.jit(lambda x: jnp.pad(x, pads),
+                             out_shardings=fmt)(q) if fmt is not None \
+                    else jax.jit(lambda x: jnp.pad(x, pads))(q)
+            else:
+                qp = jax.jit(lambda x: jnp.pad(x, pads))(w.q)
             s = w.s
             if axis % q.ndim == q.ndim - 1:
                 # padded OUTPUT channels need a (harmless, nonzero) scale
