@@ -155,10 +155,15 @@ def test_int8_moments_train_and_checkpoint_round_trip(tmp_path):
     jax.tree.map(np.testing.assert_array_equal,
                  st.full_params(), st2.full_params())
 
-    # moment-format mismatch is rejected, not silently misread.
-    with pytest.raises(ValueError):
-        StreamTrainer(cfg, restore_dir=ckpt, learning_rate=3e-3,
-                      param_dtype=jnp.float32)
+    # moment-format mismatch CONVERTS (int8 checkpoint -> fp32 trainer)
+    # instead of raising — the restored trainer resumes at the saved step
+    # with dequantized moments (full round trip covered in
+    # tests/test_stream.py::test_stream_restore_converts_moment_formats).
+    st3 = StreamTrainer(cfg, restore_dir=ckpt, learning_rate=3e-3,
+                        param_dtype=jnp.float32)
+    assert st3.step == 6   # the checkpoint's step (st took one more since)
+    m3 = st3.train_step(b, jax.random.PRNGKey(11))
+    assert np.isfinite(m3["loss"])
 
 
 def test_int8_moments_with_grad_accum():
