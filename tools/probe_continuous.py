@@ -67,3 +67,35 @@ print(json.dumps({"ideal_window_frames": ideal_window_frames,
                   "rolling_wall_s": round(roll_s, 1),
                   "rolling_frames_per_s": round(frames_done / roll_s, 1)},
                  ), flush=True)
+
+# --- wide packed server: 16 slots, capacity-packed decode dispatch +
+# int8 KV (the aggregate-throughput serving configuration), 32 requests.
+# Guarded: a failure here must not sink the primary dense measurement.
+try:
+    del srv
+    from unimoe_audio_tpu.apps.continuous import SlotServer
+
+    S = 16
+    cap = -(-int(2 * S * 0.64) // 16) * 16
+    srv2 = SlotServer(m.params, cfg, slots=S, t_text=64, horizon=384,
+                      chunk_frames=50, do_sample=True,
+                      decode_dispatch_mode="packed", decode_capacity=cap,
+                      kv_dtype="int8")
+    for i in range(32):
+        srv2.submit(m.make_slot_request(
+            "t2m", caption=f"instrumental piece number {i}", seed=i,
+            max_audio_seconds=budgets[i % 16], min_audio_seconds=2.0,
+            rid=100 + i))
+    srv2.step()  # compile chunk + prefill programs
+    warm = time.time()
+    res2 = srv2.run_until_drained()
+    wall2 = time.time() - warm
+    audio2 = sum(r.length for r in res2) / 50.0
+    print(json.dumps({"packed_kv8_slots": S,
+                      "packed_kv8_wall_s": round(wall2, 1),
+                      "packed_kv8_audio_s": round(audio2, 1),
+                      "packed_kv8_agg_rtf": round(audio2 / wall2, 2)}),
+          flush=True)
+except Exception as e:  # noqa: BLE001
+    print(json.dumps({"packed_kv8_error": f"{type(e).__name__}: {e}"[:300]}),
+          flush=True)
