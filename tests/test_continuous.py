@@ -383,3 +383,46 @@ def test_mesh_sharded_continuous_server_matches_standalone():
     srv.submit(b)                   # admitted mid-flight
     results = srv.run_until_drained()
     _check(results, {r.rid: _standalone(params, cfg, r) for r in (a, b)})
+
+
+def test_fuzz_schedule_matches_standalone():
+    """Seeded fuzz: heterogeneous requests (budgets, text lengths, audio
+    prompts) submitted at random chunk boundaries with a mid-flight
+    cancellation, through a small-horizon server that must compact
+    repeatedly — every completed request equals its standalone decode.
+    Exercises the corner interactions fixed scenarios miss (admission at
+    the horizon boundary, retire+admit in one chunk, compaction during
+    an EOS staircase)."""
+    cfg = _cfg()
+    params = _params(cfg)
+    rng = np.random.default_rng(2024)
+    reqs = [_request(cfg, seed=100 + i,
+                     max_tokens=int(rng.integers(8, 18)),
+                     text_len=int(rng.integers(3, T_TEXT)),
+                     prompt_frames=int(rng.integers(0, 2)) * 3)
+            for i in range(9)]
+    srv = SlotServer(params, cfg, slots=3, t_text=T_TEXT, horizon=56,
+                     chunk_frames=4, do_sample=False)
+    pending = list(reqs)
+    cancelled = None
+    for it in range(400):
+        if not pending and not srv.queue and not srv.active.any():
+            break
+        # Random burst submission at chunk boundaries.
+        for _ in range(int(rng.integers(0, 3))):
+            if pending:
+                srv.submit(pending.pop(0))
+        if it == 5 and cancelled is None:
+            # Cancel whatever is live in slot 1 (if anything).
+            if srv.active[1]:
+                cancelled = srv.rids[1]
+                assert srv.cancel(cancelled)
+        srv.step()
+    results, srv.results = srv.results, []
+    assert srv.compactions >= 2
+    done_rids = {r.rid for r in results}
+    want_rids = {r.rid for r in reqs} - ({cancelled} if cancelled else set())
+    assert done_rids == want_rids
+    oracle = {r.rid: _standalone(params, cfg, r)
+              for r in reqs if r.rid in done_rids}
+    _check(results, oracle)
