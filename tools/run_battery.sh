@@ -22,4 +22,5 @@ run continuous    2700 python tools/probe_continuous.py
 run streamtrain   5400 python tools/run_stream_train_artifact.py
 run decodemfu     2400 python tools/probe_decode_mfu.py
 run kvint8        2400 python tools/probe_kv_int8.py
+python tools/summarize_battery.py > tools/battery_logs/summary.json 2>/dev/null
 echo "battery done $(date -u)"
