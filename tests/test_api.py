@@ -127,3 +127,43 @@ def test_serving_mode_end_to_end(tmp_path):
     assert len(paths) == 40
     audio, _ = audio_io.read_wav(paths[0])
     assert np.isfinite(audio).all()
+
+
+@pytest.mark.parametrize("mode,kv", [("int8", None), ("int4", "int8")])
+def test_serving_snapshot_round_trip(tmp_path, mode, kv):
+    """save_serving_snapshot → UniMoEAudio(snapshot_dir) reloads the
+    QUANTIZED params (QTensor leaves; int4 repacks s4 through the
+    producer-side path) without re-quantizing, with identical greedy
+    generation and the snapshot's serving/kv modes adopted."""
+    import jax.numpy as jnp
+
+    from unimoe_audio_tpu.ops.quant import QTensor
+
+    cfg = tiny_test_config()
+    m = UniMoEAudio(None, allow_random=True, config=cfg,
+                    tokenizer=StubTokenizer(cfg), max_tokens=12,
+                    min_tokens=4, serving_mode=mode, kv_cache_dtype=kv)
+    snap = str(tmp_path / "snap")
+    m.save_serving_snapshot(snap)
+
+    # allow_random only affects the missing-DAC fallback here — the
+    # params come from the snapshot either way.
+    m2 = UniMoEAudio(snap, allow_random=True, tokenizer=StubTokenizer(cfg),
+                     max_tokens=12, min_tokens=4)
+    assert m2.serving_mode == mode and m2.kv_cache_dtype == kv
+    q1 = m.params["layers"]["moe"]["dynamic"]["gate"]
+    q2 = m2.params["layers"]["moe"]["dynamic"]["gate"]
+    assert isinstance(q2, QTensor) and q2.q.dtype == q1.q.dtype
+    np.testing.assert_array_equal(
+        np.asarray(q1.q.astype(jnp.int8)), np.asarray(q2.q.astype(jnp.int8)))
+
+    p1 = m.text_to_music("same tune", output_dir=str(tmp_path / "a"), seed=3)
+    p2 = m2.text_to_music("same tune", output_dir=str(tmp_path / "b"), seed=3)
+    a1, _ = audio_io.read_wav(p1[0])
+    a2, _ = audio_io.read_wav(p2[0])
+    np.testing.assert_array_equal(a1, a2)
+
+    # A conflicting serving_mode request is rejected, not silently ignored.
+    with pytest.raises(AssertionError):
+        UniMoEAudio(snap, tokenizer=StubTokenizer(cfg), serving_mode="int8"
+                    if mode != "int8" else "int4")

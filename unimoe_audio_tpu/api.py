@@ -116,9 +116,28 @@ class UniMoEAudio:
         self.MAX_TOKENS = max_tokens if max_tokens is not None else UniMoEAudio.MAX_TOKENS
         self.MIN_TOKENS = min_tokens if min_tokens is not None else UniMoEAudio.MIN_TOKENS
 
-        self.config, self.params = self._load_model(
-            model_path, dtype=dtype, allow_random=allow_random, config=config
-        )
+        from .core.export import SERVING_SNAPSHOT
+
+        snapshot = (model_path is not None and os.path.isfile(
+            os.path.join(model_path, SERVING_SNAPSHOT)))
+        if snapshot:
+            # Pre-quantized serving snapshot (save_serving_snapshot):
+            # params load already quantized/padded/calibrated — the
+            # quantization pass below (and int4-gptq's self-calibration
+            # generation) is skipped entirely.
+            from .core.export import load_serving_snapshot
+
+            self.config, self.params, snap_mode, snap_kv = \
+                load_serving_snapshot(model_path)
+            assert serving_mode in (False, snap_mode), (
+                f"snapshot was quantized as {snap_mode!r}; pass "
+                f"serving_mode={snap_mode!r} or omit it")
+            serving_mode = snap_mode
+            kv_cache_dtype = kv_cache_dtype or snap_kv
+        else:
+            self.config, self.params = self._load_model(
+                model_path, dtype=dtype, allow_random=allow_random,
+                config=config)
         assert serving_mode in (False, True, "int8", "int4", "int4-gptq"), serving_mode
         assert kv_cache_dtype in (None, "int8"), kv_cache_dtype
         self.serving_mode = serving_mode
@@ -141,7 +160,7 @@ class UniMoEAudio:
         self.dac = self._load_dac(model_path, dac_weights, allow_random)
         self._compiled_shapes = set()
 
-        if serving_mode:
+        if serving_mode and not snapshot:
             from .ops.quant import (
                 pad_expert_ffn, quantize_model_params_inplace,
                 quantize_vision_params, requantize_experts_int4_inplace,
@@ -160,6 +179,26 @@ class UniMoEAudio:
             if "vision" in self.params:
                 self.params["vision"] = quantize_vision_params(
                     self.params["vision"])
+
+    def save_serving_snapshot(self, out_dir: str) -> str:
+        """Persist the quantized serving params (QTensor leaves, packed
+        s4 included) + config + mode; a UniMoEAudio pointed at `out_dir`
+        loads them directly and skips the quantization pass — for
+        "int4-gptq", minutes of self-calibration at flagship size."""
+        assert self.serving_mode, \
+            "snapshots capture QUANTIZED serving params; no serving_mode set"
+        from .core.export import save_serving_snapshot
+
+        path = save_serving_snapshot(
+            self.params, self.config, out_dir,
+            serving_mode=self.serving_mode,
+            kv_cache_dtype=self.kv_cache_dtype)
+        if hasattr(self.tokenizer, "save_pretrained"):
+            try:  # HF tokenizers ride along so the dir is self-contained
+                self.tokenizer.save_pretrained(out_dir)
+            except Exception:  # noqa: BLE001 — snapshot stays usable
+                pass
+        return path
 
     # ------------------------------------------------------------------
     # Loading

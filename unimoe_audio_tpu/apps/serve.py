@@ -159,6 +159,11 @@ def main():
                              "request's output never depends on co-resident "
                              "load (disables the packed-dispatch aggregate "
                              "throughput config on wide servers)")
+    parser.add_argument("--save-snapshot", default=None, metavar="DIR",
+                        help="after quantization, persist the serving "
+                             "params (core/export.save_serving_snapshot); "
+                             "pointing --model at DIR later skips the "
+                             "quantize/calibrate pass at startup")
     parser.add_argument("--output", default="./served")
     parser.add_argument("--measure-latency", action="store_true")
     args = parser.parse_args()
@@ -174,6 +179,9 @@ def main():
         allow_random=args.allow_random, quantize=args.quantize,
         kv_cache=args.kv_cache,
     )
+    if args.save_snapshot:
+        print(f"serving snapshot: "
+              f"{model.save_serving_snapshot(args.save_snapshot)}")
     if args.measure_latency:
         print(json.dumps(measure_ttfa(model)))
         return 0

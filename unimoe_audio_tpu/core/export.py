@@ -71,3 +71,79 @@ def export_hf_checkpoint(params: Dict, cfg, out_dir: str, *, dtype="float32") ->
     sd = {k: v.astype(dtype, copy=False) for k, v in sd.items()}
     save_file(sd, os.path.join(out_dir, "model.safetensors"))
     cfg.save_json(os.path.join(out_dir, "config.json"))
+
+
+# ---------------------------------------------------------------------------
+# Serving snapshots: persist ALREADY-QUANTIZED params (QTensor leaves,
+# packed s4 included) so a server restart skips the quantization pass —
+# and for "int4-gptq" the self-calibration generation + per-layer GPTQ,
+# minutes of cold-start at flagship size.  (The reference has no
+# quantized serving at all; this is TPU-native added capability.)
+# ---------------------------------------------------------------------------
+
+SERVING_SNAPSHOT = "serving.jax.pkl"
+
+
+def save_serving_snapshot(params: Dict, cfg, out_dir: str, *,
+                          serving_mode, kv_cache_dtype=None) -> str:
+    """Write quantized serving params + config + mode to
+    out_dir/serving.jax.pkl.  s4 leaves are widened to int8 for storage
+    (a pickled s4 buffer could never be re-laid-out on load — the jax
+    0.9 sub-byte relayout bug) and re-packed at load time."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.quant import QTensor
+
+    widen = jax.jit(lambda a: a.astype(jnp.int8))
+
+    def enc(x):
+        if isinstance(x, QTensor):
+            int4 = x.q.dtype == jnp.int4
+            return {"__qtensor__": True, "int4": int4,
+                    "q": np.asarray(jax.device_get(widen(x.q) if int4
+                                                   else x.q)),
+                    "s": np.asarray(jax.device_get(x.s))}
+        return np.asarray(jax.device_get(x))
+
+    tree = jax.tree.map(enc, params,
+                        is_leaf=lambda x: isinstance(x, QTensor))
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, SERVING_SNAPSHOT)
+    with open(path, "wb") as f:
+        pickle.dump({"config": cfg.to_dict(), "serving_mode": serving_mode,
+                     "kv_cache_dtype": kv_cache_dtype, "params": tree}, f)
+    return path
+
+
+def load_serving_snapshot(model_dir: str):
+    """Returns (cfg, params, serving_mode, kv_cache_dtype).  int4-tagged
+    leaves re-enter the packed s4 layout through the producer-side
+    out_shardings path (ops.quant._to_packed_int4)."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from ..config import UniMoEAudioConfig
+    from ..ops.quant import QTensor, _to_packed_int4
+
+    with open(os.path.join(model_dir, SERVING_SNAPSHOT), "rb") as f:
+        blob = pickle.load(f)
+
+    def dec(node):
+        if isinstance(node, dict) and node.get("__qtensor__"):
+            q = jnp.asarray(node["q"])
+            if node["int4"]:
+                q = _to_packed_int4(q, q)
+            return QTensor(q=q, s=jnp.asarray(node["s"]))
+        return jnp.asarray(node)
+
+    import jax
+
+    params = jax.tree.map(
+        dec, blob["params"],
+        is_leaf=lambda x: isinstance(x, dict) and x.get("__qtensor__"))
+    cfg = UniMoEAudioConfig.from_dict(blob["config"])
+    return cfg, params, blob["serving_mode"], blob.get("kv_cache_dtype")
