@@ -326,7 +326,7 @@ class UniMoEAudio:
     ]
 
     def _gptq_quantize_experts(self, captions=None, frames: int = 64,
-                               group_size: int = 64,
+                               group_size: int = 0,
                                max_calib_tokens: int = 4096):
         """Self-calibrating GPTQ expert conversion (ops/gptq.py).
 

@@ -52,25 +52,39 @@ def _cholesky_inv_upper(H: jnp.ndarray, damp_frac: float = 0.01) -> jnp.ndarray:
     return jnp.swapaxes(jnp.linalg.cholesky(Hinv), -1, -2)
 
 
-def _gptq_core(w32: jnp.ndarray, U: jnp.ndarray, G: int):
+def _gptq_core(w32: jnp.ndarray, U: jnp.ndarray, G: int,
+               per_channel: bool = False):
     """GPTQ one matrix: w32 [D, F] f32, U [D, D] upper-triangular.
 
     Returns (q int8 in [-8, 7] [D, F], s bf16 [D//G, F]) — the same
     storage contract as quant._quantize_grouped_int4_core, so the result
     drops into the existing QTensor/packed-s4 serving path unchanged.
+
+    per_channel=True decouples scale granularity from the processing
+    block: ONE clip-searched scale per output column is fixed upfront
+    (from the original weights — GPTQ "static groups" style) and every
+    block compensates against it; the emitted s is [1, F], which keeps
+    the decode matmul on the fast convert-fused path (quant.matmul's
+    Dg == 1 branch) instead of materializing dequantized weights.
     """
     D, F = w32.shape
     nb = D // G
+    if per_channel:
+        _, s_pc = _quantize_grouped_int4_core(w32, D)    # s: [1, F] bf16
+        s_pc32 = s_pc.astype(jnp.float32)
 
     def block_step(W, b):
         i0 = b * G
         Wb = jax.lax.dynamic_slice(W, (i0, 0), (G, F))
         Ub = jax.lax.dynamic_slice(U, (i0, 0), (G, D))  # rows i0..i0+G-1
         Ubb = jax.lax.dynamic_slice(Ub, (0, i0), (G, G))  # within-block
-        # One scale per (block, out-column), MSE clip search on the
-        # incoming (already error-compensated) block weights.
-        _, s = _quantize_grouped_int4_core(Wb, G)        # s: [1, F] bf16
-        s32 = s.astype(jnp.float32)
+        if per_channel:
+            s, s32 = s_pc, s_pc32
+        else:
+            # One scale per (block, out-column), MSE clip search on the
+            # incoming (already error-compensated) block weights.
+            _, s = _quantize_grouped_int4_core(Wb, G)    # s: [1, F] bf16
+            s32 = s.astype(jnp.float32)
 
         def row_step(carry, i):
             Wb, Err = carry
@@ -96,7 +110,9 @@ def _gptq_core(w32: jnp.ndarray, U: jnp.ndarray, G: int):
         return W, (qrows, s.astype(jnp.bfloat16)[0])
 
     _, (q, s) = jax.lax.scan(block_step, w32, jnp.arange(nb))
-    return q.reshape(D, F).astype(jnp.int8), s  # s: [nb, F]
+    if per_channel:
+        s = s[:1]                                        # [1, F]
+    return q.reshape(D, F).astype(jnp.int8), s  # s: [nb, F] | [1, F]
 
 
 def _gptq_int4_raw(w: jnp.ndarray, H: jnp.ndarray, group_size: int):
@@ -112,7 +128,10 @@ def _gptq_int4_raw(w: jnp.ndarray, H: jnp.ndarray, group_size: int):
     so an [L, E, D, F] leaf costs L·D scan steps, not L·E·D."""
     w32 = jnp.asarray(w).astype(jnp.float32)
     D = w32.shape[-2]
-    G = _group_size_for(D, group_size)
+    # group_size == 0: per-channel scales (the fast serving layout),
+    # error-compensated in 128-row processing blocks.
+    per_channel = not group_size or group_size >= D
+    G = _group_size_for(D, 128 if per_channel else group_size)
     U = _cholesky_inv_upper(jnp.asarray(H).astype(jnp.float32))
     # Align H's leading dims layer-major: [L, D, D] -> [L, 1, D, D] etc.
     while U.ndim < w32.ndim:
@@ -122,16 +141,18 @@ def _gptq_int4_raw(w: jnp.ndarray, H: jnp.ndarray, group_size: int):
     wf = w32.reshape((-1, B) + w32.shape[-2:])
     Uf = jnp.broadcast_to(U, lead + U.shape[-2:]).reshape(
         (-1, B) + U.shape[-2:])
-    batched = jax.vmap(lambda wi, ui: _gptq_core(wi, ui, G))
+    batched = jax.vmap(lambda wi, ui: _gptq_core(wi, ui, G, per_channel))
     q, s = jax.lax.map(lambda args: batched(args[0], args[1]), (wf, Uf))
     return q.reshape(w32.shape), s.reshape(lead + s.shape[-2:])
 
 
 def gptq_quantize_int4(
-    w: jnp.ndarray, H: jnp.ndarray, group_size: int = 64
+    w: jnp.ndarray, H: jnp.ndarray, group_size: int = 0
 ) -> QTensor:
     """GPTQ int4 QTensor (packed s4 on TPU) — interchangeable with
-    quant.quantize_tensor_int4's output.  See _gptq_int4_raw for the H
+    quant.quantize_tensor_int4's output.  Default group_size=0 =
+    per-channel scales (the fast convert-fused serving layout; the
+    compensation still runs block-wise).  See _gptq_int4_raw for the H
     broadcasting contract."""
     q, s = jax.jit(_gptq_int4_raw, static_argnums=2)(w, H, group_size)
     return QTensor(q=_to_packed_int4(q, jnp.asarray(w)), s=s)
@@ -209,7 +230,7 @@ def quantize_experts_int4_gptq(
     *,
     codec_input_ids: Optional[jnp.ndarray] = None,
     attention_mask: Optional[jnp.ndarray] = None,
-    group_size: int = 64,
+    group_size: int = 0,
     max_calib_tokens: int = 4096,
     pad_multiple: Optional[int] = 128,
 ) -> Dict:

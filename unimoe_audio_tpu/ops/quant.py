@@ -158,10 +158,14 @@ def _to_packed_int4(q_vals: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
     return f(q_vals)
 
 
-def _group_size_for(D: int, group_size: int) -> int:
+def _group_size_for(D: int, group_size) -> int:
     """Largest divisor of D that is ≤ group_size (so groups tile D
     exactly; after pad_expert_ffn every contraction dim is 128-divisible
-    and this returns group_size itself)."""
+    and this returns group_size itself).  group_size in (0, None) means
+    per-channel: one group spanning the whole contraction dim (Dg == 1 —
+    the layout whose dequant XLA fuses into the dot's operand read)."""
+    if not group_size or group_size >= D:
+        return D
     g = min(group_size, D)
     while D % g:
         g -= 1
@@ -208,28 +212,43 @@ def _quantize_grouped_int4_core(w32: jnp.ndarray, G: int):
     return q.reshape(w32.shape), s[..., :, 0, :].astype(jnp.bfloat16)
 
 
-def quantize_tensor_int4(w: jnp.ndarray, group_size: int = 64) -> QTensor:
-    """Group-wise int4 on the full [-8, 7] grid, MSE-searched scales.
-    q stored as PACKED s4 — half the weight stream of int8; scales are
-    bf16 [Dg, F] (4/G of the q bytes: +6.25% stream at the G=64 default).
-    Relative weight RMS error ~9.5% on gaussian weights at G=64
-    (per-channel amax/7 RTN was ~12.6%; int8 is ~0.7%) — still a latency-optimized
-    operating point, NOT near-lossless like int8: serve it where the step
-    is weight-streaming-bound (single-stream/low-batch decode; reference
-    AR loop anchor: utils/UniMoE_Audio_model.py:918-1068) and the quality
-    budget allows.  See docs/STATUS.md for the measured logits-delta
-    table."""
+def quantize_tensor_int4(w: jnp.ndarray, group_size: int = 0) -> QTensor:
+    """Int4 on the full [-8, 7] grid, MSE-searched scales; q stored as
+    PACKED s4 — half the weight stream of int8.
+
+    group_size=0 (the SERVING default) is per-channel: one clip-searched
+    scale per output column (s [1, F], weight RMS error ~11.3% on
+    gaussian weights vs 12.6% for plain amax/7 RTN).  Per-channel keeps
+    the decode matmul on the fast path — `y = (x @ q.astype(bf16)) * s`,
+    where XLA fuses the s4→bf16 convert into the dot's operand read
+    (measured 6.2 ms/step single-stream at flagship 36L).
+
+    group_size=G>0 is group-wise (s [Dg, F], ~9.5% RMS at G=64): finer
+    scales, but the group-scale multiply is a reshape·mul producer XLA
+    will NOT fuse into the dot — the dequantized bf16 weights materialize
+    in HBM and the step runs ~3x slower than int8 (measured 18.7 ms
+    single-stream).  Use group-wise for quality experiments or off-TPU;
+    the quality serving mode is per-channel GPTQ (ops/gptq.py), which
+    recovers most of the group-wise accuracy at per-channel speed.
+
+    Still a latency-optimized operating point, NOT near-lossless like
+    int8: serve it where the step is weight-streaming-bound
+    (single-stream/low-batch decode; reference AR loop anchor:
+    utils/UniMoE_Audio_model.py:918-1068) and the quality budget allows.
+    See docs/STATUS.md for the measured logits-delta table."""
     w32 = jnp.asarray(w).astype(jnp.float32)
     G = _group_size_for(w32.shape[-2], group_size)
     q, s = _quantize_grouped_int4_core(w32, G)
     return QTensor(q=_to_packed_int4(q, jnp.asarray(w)), s=s)
 
 
-def requantize_experts_int4_inplace(params: Dict, group_size: int = 64) -> Dict:
+def requantize_experts_int4_inplace(params: Dict, group_size: int = 0) -> Dict:
     """Convert the (already int8-quantized, lane-padded) expert FFN
     weights to packed s4 — the int4 serving mode's second quantization
-    stage.  Group-wise (G=group_size along the contraction dim; padded
-    dims are 128-divisible) with per-group clip search.  Requantizing from
+    stage.  Default per-channel (group_size=0: clip-searched scale per
+    output column — the fast convert-fused decode layout); group_size=G
+    selects group-wise scales along the contraction dim (finer error,
+    ~3x slower decode: see quantize_tensor_int4).  Requantizing from
     the int8 grid adds negligible error on top of direct int4 (the int8
     grid is 18x finer).  MUTATES and returns `params`; per-leaf streaming
     keeps the transient at one dequantized leaf."""
