@@ -102,3 +102,49 @@ def test_int4_serving_generation_close_to_int8(tmp_path):
     a, _ = audio_io.read_wav(p8[0])
     b, _ = audio_io.read_wav(p4[0])
     assert np.isfinite(a).all() and np.isfinite(b).all()
+
+
+def test_int4_serving_default_is_per_channel():
+    """The SERVING defaults must emit per-channel scales (s.shape[-2] == 1):
+    group-wise scales (Dg > 1) route quant.matmul/expert_einsum through
+    _dequant_grouped, whose reshape-mul producer XLA will not fuse into
+    the dot on TPU — the dequantized bf16 weights materialize in HBM and
+    single-stream decode measured 3x slower (18.7 vs 6.2 ms/step,
+    2026-08-19 battery).  Quality comes from GPTQ error compensation at
+    per-channel scales, not finer groups (docs/STATUS.md)."""
+    w = jax.random.normal(jax.random.PRNGKey(11), (2, 256, 128), jnp.float32)
+    qt = quantize_tensor_int4(w)                       # default group size
+    assert qt.s.shape == (2, 1, 128), qt.s.shape
+
+    params = {"layers": {"moe": {
+        "dynamic": {k: quantize_tensor(jax.random.normal(
+            jax.random.PRNGKey(i), (2, 3, 256, 128), jnp.float32))
+            for i, k in enumerate(("gate", "up"))} | {
+            "down": quantize_tensor(jax.random.normal(
+                jax.random.PRNGKey(5), (2, 3, 128, 256), jnp.float32))},
+        "fixed": {},
+    }}}
+    out = requantize_experts_int4_inplace(params)      # default group size
+    for k in ("gate", "up", "down"):
+        s = out["layers"]["moe"]["dynamic"][k].s
+        assert s.shape[-2] == 1, (k, s.shape)
+
+
+def test_gptq_per_channel_scale_layout_and_quality():
+    """gptq_quantize_int4's default (group_size=0) emits per-channel
+    scales and still beats per-channel RTN on correlated inputs."""
+    from unimoe_audio_tpu.ops.gptq import gptq_quantize_int4
+
+    rng = np.random.default_rng(0)
+    D, F, N = 64, 48, 256
+    base = rng.normal(size=(N, 8)).astype(np.float32)
+    X = jnp.asarray(base @ rng.normal(size=(8, D)).astype(np.float32)
+                    + 0.05 * rng.normal(size=(N, D)).astype(np.float32))
+    W = jnp.asarray(rng.normal(size=(D, F)).astype(np.float32))
+    H = X.T @ X
+    g = gptq_quantize_int4(W, H)                       # default: per-channel
+    assert g.s.shape == (1, F), g.s.shape
+    r = quantize_tensor_int4(W)                        # per-channel RTN
+    err_g = float(jnp.mean((X @ dequantize(g) - X @ W) ** 2))
+    err_r = float(jnp.mean((X @ dequantize(r) - X @ W) ** 2))
+    assert err_g < err_r, (err_g, err_r)
