@@ -253,13 +253,16 @@ def deep_train_probe(moment_dtype: str = "int8"):
     }))
 
 
-def main(agg: str = "int8"):
+def main(agg: str = "int4"):
     """agg picks the aggregate-headline serving config:
     "int8" | "int8+kv8" | "int4" | "int4+kv8" — experts int8 or packed-s4
     int4 (identical runtime layout to the quality-audited int4-gptq mode),
     KV cache bf16 or int8 (models/layers.KVCache).  The default is the
-    measured-best config that holds the per-stream >=1.1x guarantee
-    (tools/probe_int4_agg.py matrix)."""
+    measured-best config that holds the per-stream >=1.1x guarantee:
+    2026-08-19 battery matrix at B=88 — int4 109.33x/1.242x per-stream
+    vs int8 99.6x/1.132x (quality bar cleared: per-channel GPTQ matches
+    int8 logit fidelity, docs/STATUS.md); B=112 int4 reached 112.8x agg
+    but fails per-stream (1.007x), so B stays 88."""
     import subprocess
 
     import numpy as np
@@ -483,7 +486,7 @@ if __name__ == "__main__":
         stream_train_probe(gas=gas, moment_dtype=mdt)
     else:
         agg = sys.argv[sys.argv.index("--agg") + 1] \
-            if "--agg" in sys.argv else "int8"
+            if "--agg" in sys.argv else "int4"
         try:
             main(agg=agg)
         except Exception as e:  # noqa: BLE001
