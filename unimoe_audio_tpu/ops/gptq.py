@@ -9,8 +9,11 @@ error into the not-yet-quantized rows through the Cholesky factor of
 H^-1 — correlated input directions absorb each other's error.
 
 TPU-shaped implementation: rows are processed in blocks of `group_size`
-(one scale group = one block, scales found by the same MSE clip search
-the RTN path uses), the within-block row recursion is a lax.scan, and
+(in the non-default group-wise mode one scale group = one block, scales
+found by the same MSE clip search the RTN path uses; the DEFAULT
+per-channel mode fixes one upfront scale per output column while error
+compensation still runs in 128-row blocks), the within-block row
+recursion is a lax.scan, and
 the cross-block error propagation is one [G, D] x [G, F] matmul per
 block — the O(D^2 F) work lands on the MXU.  Everything jits; stacked
 expert leaves ([L, E, D, F]) vmap over experts and lax.map over layers.

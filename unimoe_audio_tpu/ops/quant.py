@@ -26,10 +26,14 @@ class QTensor(NamedTuple):
     q: int8 (or packed s4), same shape as the original weight.
     s: f32 (int8 path) or bf16 (int4 path) scales, shape [..., Dg, out]
        where the contraction dim D (axis -2 of q) is split into Dg groups
-       of G = D // Dg rows.  Dg == 1 is the per-output-channel case (the
-       int8 default); Dg > 1 is group-wise (the int4 path) — finer scales
-       cut quantization error where weight magnitude varies along the
-       contraction dim.
+       of G = D // Dg rows.  Dg == 1 — per-output-channel — is the SERVING
+       layout for both int8 and int4: the scale multiply commutes out of
+       the dot, so weights stream quantized.  Dg > 1 (group-wise) is an
+       opt-in quality-experiment/off-TPU layout: on TPU the reshape·mul
+       dequant does NOT fuse into the dot, the bf16 weights materialize in
+       HBM, and int4 decode measured 18.7 ms/step vs 6.2 per-channel
+       (2026-08-19 battery).  Int4 quality comes from GPTQ error
+       compensation at per-channel scales, not finer groups.
     """
 
     q: jnp.ndarray   # int8 / packed s4, same shape as original
@@ -56,9 +60,12 @@ def wshape(w: WeightLike):
 def _dequant_grouped(w: QTensor, dtype) -> jnp.ndarray:
     """Dequantize a group-wise QTensor to `dtype`, original shape.
 
-    Runs inside the consuming jit: XLA fuses the convert + group-scale
-    multiply into the dot's operand read, so HBM traffic stays int4 + the
-    (tiny, Dg·F) scale tensor."""
+    WARNING (measured, 2026-08-19): on TPU the reshape + group-scale
+    multiply does NOT fuse into the consuming dot's operand read — XLA
+    materializes the dequantized bf16 weights in HBM, costing the full
+    bf16 stream (int4 decode: 18.7 ms/step group-wise vs 6.2 per-channel).
+    Group-wise is therefore NOT a serving layout; keep serving scales
+    per-channel (Dg == 1).  See quantize_tensor_int4's docstring."""
     q, s = w.q, w.s
     Dg = s.shape[-2]
     D, F = q.shape[-2], q.shape[-1]
