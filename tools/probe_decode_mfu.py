@@ -109,9 +109,14 @@ def main():
     with jax.profiler.trace(trace_dir):
         n_steps = run(2)
     wall = time.time() - t0
+    # NOTE: wall/steps includes tunnel latency + host dispatch + trace
+    # capture overhead and over-reads the true step time by ~6x over the
+    # axon tunnel.  The authoritative ms/step is device_time_us/steps,
+    # printed with the summary below once hlo_stats are aggregated.
     print(json.dumps({"traced_wall_s": round(wall, 2),
                       "decode_steps": n_steps,
-                      "step_ms": round(1e3 * wall / n_steps, 2)}), flush=True)
+                      "traced_wall_ms_per_step":
+                          round(1e3 * wall / n_steps, 2)}), flush=True)
 
     raw = aggregate_hlo_stats(trace_dir)
     # Google-Charts DataTable: {"cols": [{"label": ...}], "rows": [{"c":
@@ -172,6 +177,7 @@ def main():
     print(json.dumps({
         "hlo_stats_rows": len(table),
         "device_time_us": round(total_us, 0),
+        "device_ms_per_step": round(total_us / 1e3 / n_steps, 2),
         "achieved_tflops_mean": round(tot_fl / total_us / 1e3, 2),
         "achieved_hbm_gibs_mean": round(tot_bw / total_us, 1),
         "hbm_roofline_frac": round(tot_bw / total_us / 800.0, 3),
