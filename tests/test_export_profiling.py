@@ -46,6 +46,45 @@ def test_export_safetensors_loadable(tmp_path):
     )
 
 
+def test_hf_checkpoint_load_generate_export_reload_bit_identical(tmp_path):
+    """The full checkpoint-lifecycle loop the reference's trust_remote_code
+    load path represents (/root/reference/UniMoE_Audio.py:60-75): an
+    HF-layout checkpoint on disk (safetensors + config.json) → loaded via
+    UniMoEAudio(model_path=...) → greedy generation → exported back with
+    core/export.py → reloaded → bit-identical greedy codes/audio."""
+    from tests.test_api import StubTokenizer
+
+    from unimoe_audio_tpu.api import UniMoEAudio
+    from unimoe_audio_tpu.codec import audio_io
+
+    cfg = tiny_test_config()
+    params = init_model_params(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+
+    # Synthesize the on-disk HF checkpoint (reference inference-checkpoint
+    # layout: module names from utils/UniMoE_Audio_model.py:460-487).
+    src = tmp_path / "hf_ckpt"
+    export_hf_checkpoint(params, cfg, str(src))
+    assert (src / "model.safetensors").exists() and (src / "config.json").exists()
+
+    m1 = UniMoEAudio(str(src), dtype=jnp.float32, allow_random=True,
+                     tokenizer=StubTokenizer(cfg), max_tokens=12, min_tokens=4)
+    p1 = m1.text_to_music("round trip", output_dir=str(tmp_path / "a"),
+                          seed=0, do_sample=False)
+
+    # Export the loaded params and reload through the same public surface.
+    dst = tmp_path / "hf_ckpt_2"
+    export_hf_checkpoint(m1.params, m1.config, str(dst))
+    m2 = UniMoEAudio(str(dst), dtype=jnp.float32, allow_random=True,
+                     tokenizer=StubTokenizer(cfg), max_tokens=12, min_tokens=4)
+    p2 = m2.text_to_music("round trip", output_dir=str(tmp_path / "b"),
+                          seed=0, do_sample=False)
+
+    a1, sr1 = audio_io.read_wav(p1[0])
+    a2, sr2 = audio_io.read_wav(p2[0])
+    assert sr1 == sr2
+    np.testing.assert_array_equal(a1, a2)
+
+
 def test_router_stats():
     cfg = tiny_test_config()
     tc = cfg.text_config
