@@ -84,6 +84,23 @@ def text_model_forward(
     """
     B, T, Dm = inputs_embeds.shape
     cos, sin = compute_mrope(position_ids, cfg.head_dim, cfg.rope_theta, cfg.mrope_section)
+    if hidden_sharding is not None:
+        # Anchor the embedding output: the codec-embedding gather's VJP is
+        # a scatter-add whose sharding otherwise disagrees with the
+        # batch-sharded forward gather (involuntary full remat).
+        inputs_embeds = jax.lax.with_sharding_constraint(
+            inputs_embeds, hidden_sharding)
+        # Pin the rope tables to the hidden constraint's batch axes (D
+        # replicated): as scan-hoisted loop invariants their sharding is
+        # otherwise inferred separately for forward and transpose uses,
+        # which costs GSPMD an involuntary full rematerialization per use.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_axis = hidden_sharding.spec[0]
+        cs = NamedSharding(hidden_sharding.mesh,
+                           PartitionSpec(batch_axis, None, None))
+        cos = jax.lax.with_sharding_constraint(cos, cs)
+        sin = jax.lax.with_sharding_constraint(sin, cs)
 
     # Derive the depth from the actual layer stack — callers may pass a
     # sliced stack (speculative draft prefix, pipeline stages).
@@ -125,6 +142,12 @@ def text_model_forward(
 
     def layer_fn(h, xs):
         lp, layer_rng, is_sliding, cache_k, cache_v, cache_ks, cache_vs, pre_k, pre_v = xs
+        if hidden_sharding is not None:
+            # Anchor the block INPUT as well as the output (below): the
+            # constraint transposes onto the cotangent, keeping forward
+            # and backward hidden/residual shardings identical so GSPMD
+            # never bridges them with a full rematerialization.
+            h = jax.lax.with_sharding_constraint(h, hidden_sharding)
         residual = h
         hn = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
         attn_out, new_cache = attention(
@@ -139,6 +162,8 @@ def text_model_forward(
             prefix_kv=(pre_k, pre_v) if prefix_kv is not None else None,
             ring=ring,
         )
+        if hidden_sharding is not None:
+            attn_out = jax.lax.with_sharding_constraint(attn_out, hidden_sharding)
         h = residual + attn_out
         residual = h
         hn = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -429,6 +454,7 @@ def model_forward(
     remat: bool = False,
     prefix_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # [L, n, KV, Dh]
     ring: Optional[Tuple] = None,        # (Mesh, axis): ring-attention SP
+    hidden_sharding=None,                # per-block [B, T, D] constraint
 ) -> ModelOutput:
     """Full-model forward (no cache — training / eval path).
 
@@ -490,6 +516,7 @@ def model_forward(
         remat=remat,
         prefix_kv=prefix_kv,
         ring=ring,
+        hidden_sharding=hidden_sharding,
     )
     hidden = out.last_hidden_state
 

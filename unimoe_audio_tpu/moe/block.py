@@ -201,7 +201,12 @@ def dcmoe_block(
             x_orig[None], (cfg.mlp_fixed_expert_num,) + x_orig.shape
         )
         y_fixed = D.swiglu_expert_ffn(x_fixed, params["fixed"])  # [nF, S, D]
-        out = out + jnp.einsum("se,esd->sd", gw[:, E_dyn:], y_fixed)
+        # Combine as broadcast-multiply + reduce, not einsum: the einsum's
+        # VJP emits a transposed dot whose sharding GSPMD can only satisfy
+        # with involuntary full rematerialization under an expert-sharded
+        # mesh (same reasoning as moe_ffn_dense's combine).
+        w_fixed = jnp.swapaxes(gw[:, E_dyn:], 0, 1)[:, :, None]  # [nF, S, 1]
+        out = out + jnp.sum(y_fixed * w_fixed.astype(y_fixed.dtype), axis=0)
 
     return MoEOutput(
         hidden_states=out.reshape(B, T, dim).astype(original.dtype),

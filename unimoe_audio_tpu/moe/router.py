@@ -153,8 +153,13 @@ def sparse_expert_mixer(
 
     active = rounds[:, None] < top_k[None, :]  # [max_k, S]
     onehots = jax.nn.one_hot(selections, E, dtype=jnp.float32)  # [max_k, S, E]
-    w = jnp.einsum("ks,kse->se", jnp.where(active, multipliers, 0.0), onehots)
-    m = jnp.einsum("ks,kse->se", active.astype(jnp.float32), jax.lax.stop_gradient(onehots))
+    # Broadcast-multiply + reduce over the k rounds instead of einsum: the
+    # contraction is tiny (k ≤ E, VPU work either way) and the einsum's VJP
+    # emits transposed dots whose shardings cost GSPMD involuntary full
+    # rematerialization under a dp×ep×tp mesh.
+    onehots_sg = jax.lax.stop_gradient(onehots)
+    w = jnp.sum(jnp.where(active, multipliers, 0.0)[:, :, None] * onehots, axis=0)
+    m = jnp.sum(jnp.where(active[:, :, None], onehots_sg, 0.0), axis=0)
     result = MixerResult(routing_weights=w, expert_mask=m.astype(jnp.int32))
     if return_internals:
         return result, {
@@ -224,8 +229,10 @@ def sparse_expert_mixer_eval(
     # lowers to a TPU scatter, which measured slower than the scan it was
     # meant to replace).
     oh = (order[:, :, None] == ranks[None, None, :]).astype(jnp.float32)
-    w = jnp.einsum("sr,sre->se", jnp.where(active, mult, 0.0), oh)
-    m = jnp.einsum("sr,sre->se", active.astype(jnp.float32), oh)
+    # Broadcast-multiply + reduce over ranks (see sparse_expert_mixer: the
+    # einsum form costs involuntary full remat in the VJP under GSPMD).
+    w = jnp.sum(jnp.where(active, mult, 0.0)[:, :, None] * oh, axis=1)
+    m = jnp.sum(jnp.where(active[:, :, None], oh, 0.0), axis=1)
     return MixerResult(routing_weights=w, expert_mask=m.astype(jnp.int32))
 
 

@@ -132,6 +132,7 @@ def loss_fn(
     capacity: Optional[int] = None,
     remat: bool = True,
     ring=None,
+    hidden_sharding=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     inputs_embeds = batch.get("inputs_embeds")
     prefix = None
@@ -196,6 +197,7 @@ def loss_fn(
         remat=remat,
         prefix_kv=prefix,
         ring=ring,
+        hidden_sharding=hidden_sharding,
     )
     metrics = {
         "loss": out.loss,
@@ -217,6 +219,7 @@ def train_step(
     capacity: Optional[int] = None,
     remat: bool = True,
     ring=None,
+    hidden_sharding=None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SGD step (wrap in jax.jit with donate_argnums at the call site)."""
     aux_w = aux_weight_at_step(cfg, state.step)
@@ -224,7 +227,7 @@ def train_step(
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params, cfg, batch, step_rng, aux_w,
         dispatch_mode=dispatch_mode, capacity=capacity, remat=remat,
-        ring=ring,
+        ring=ring, hidden_sharding=hidden_sharding,
     )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
