@@ -17,19 +17,40 @@ of 7.1B params ⇒ k≈5.2), so the packed-dispatch capacity (112 slots for
 Also emitted in the same JSON line (round-to-round regression tracking):
   per_stream_rtf        — the headline's per-stream guarantee
   ttfa_p50_ms           — prefill + first decode step, single stream
-  single_stream_rtf     — greedy 1-stream decode RTF
+  single_stream_rtf     — greedy 1-stream decode RTF (serving config)
   flash_fwd_bwd_speedup — Pallas flash fwd+bwd vs XLA attention, T=2048
   train_tokens_per_sec  — 4L flagship-width train step, T=2048, remat
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+Output protocol (the driver parses the LAST valid JSON line): the
+aggregate headline line prints FIRST — init → quantize → one compile →
+two timed B=88 generations, minutes not tens of minutes — and is then
+re-emitted with a richer `extra` after each additional measurement
+lands.  The expensive train probes (12L deep-train, 36L stream-train
+subprocesses) run LAST and only while wall-clock remains inside
+BENCH_BUDGET_S (default 1500 s); a timed-out or skipped extra can no
+longer starve the headline (round-4 failure mode: BENCH_r04 rc=124
+with zero output because ~55 min of training subprocesses ran before
+the first print).
+
+A persistent XLA compile cache (JAX_COMPILATION_CACHE_DIR → ./.jax_cache)
+is enabled for this process and the probe subprocesses; on a warm cache
+the serving-segment compiles (~5 min each cold over the axon tunnel)
+collapse to seconds, letting the full extra set fit the budget.
+
 vs_baseline is value / 5.0 — BASELINE.json's ≥5× real-time per-chip target
 (the reference publishes no throughput numbers).
 """
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+_T0 = time.time()
 
 
 def flash_speedup():
@@ -262,7 +283,15 @@ def main(agg: str = "int4"):
     2026-08-19 battery matrix at B=88 — int4 109.33x/1.242x per-stream
     vs int8 99.6x/1.132x (quality bar cleared: per-channel GPTQ matches
     int8 logit fidelity, docs/STATUS.md); B=112 int4 reached 112.8x agg
-    but fails per-stream (1.007x), so B stays 88."""
+    but fails per-stream (1.007x), so B stays 88.
+
+    Measurement order is headline-first (see module docstring): the B=88
+    aggregate prints as soon as it is measured, then TTFA/single-stream
+    on the SAME serving params (int4 by default — the serving operating
+    point), then the cheap extras, then the train subprocesses, each
+    gated on remaining BENCH_BUDGET_S and each followed by a re-emit of
+    the full JSON line."""
+    import gc
     import subprocess
 
     import numpy as np
@@ -275,53 +304,13 @@ def main(agg: str = "int4"):
     from unimoe_audio_tpu.models.model import init_model_params
     from unimoe_audio_tpu.ops.quant import (
         pad_expert_ffn, quantize_model_params_inplace,
+        requantize_experts_int4_inplace,
     )
 
-    extra_deep = {}
-    try:
-        # Before the parent claims HBM: 12L deep-train in a subprocess.
-        r = subprocess.run(
-            [sys.executable, __file__, "--deep-train"],
-            capture_output=True, text=True, timeout=1500,
-        )
-        for line in reversed(r.stdout.strip().splitlines()):
-            try:
-                extra_deep = json.loads(line)
-                break
-            except json.JSONDecodeError:
-                continue
-        if not extra_deep:
-            print(f"deep-train probe produced no JSON (rc={r.returncode}): "
-                  f"{r.stderr[-300:]}", file=sys.stderr)
-    except subprocess.TimeoutExpired:
-        print("deep-train probe timed out (skipped)", file=sys.stderr)
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
-    extra_stream = {}
-    # Full 36L flagship layer-streamed training, also pre-HBM-claim.
-    # Preferred config first (int8 moments + grad accum); if it produces
-    # nothing at flagship scale, fall back to the round-2-proven
-    # fp32/gas=1 configuration rather than dropping the metric.
-    for probe_args in (["--stream-train"],
-                       ["--stream-train", "--gas", "1",
-                        "--moments", "float32"]):
-        try:
-            r = subprocess.run(
-                [sys.executable, __file__, *probe_args],
-                capture_output=True, text=True, timeout=1800,
-            )
-            for line in reversed(r.stdout.strip().splitlines()):
-                try:
-                    extra_stream = json.loads(line)
-                    break
-                except json.JSONDecodeError:
-                    continue
-            if extra_stream:
-                break
-            print(f"stream-train probe {probe_args} produced no JSON "
-                  f"(rc={r.returncode}): {r.stderr[-300:]}", file=sys.stderr)
-        except subprocess.TimeoutExpired:
-            print(f"stream-train probe {probe_args} timed out",
-                  file=sys.stderr)
+    def remaining():
+        return budget - (time.time() - _T0)
 
     FRAME_RATE = 50.0
     B = 88
@@ -330,11 +319,19 @@ def main(agg: str = "int4"):
     DCAP = 112                      # decode per-expert slots (2B=176 tokens)
     PCAP = 3328                     # prefill slots (2B·T_text=5632 tokens)
 
-    extra = {}
-    extra.update(extra_deep)
-    extra.update(extra_stream)
-    extra["flash_fwd_bwd_speedup"] = round(flash_speedup(), 2)
-    extra["train_tokens_per_sec"] = round(train_tokens_per_sec(), 0)
+    extra = {"agg_config": agg}
+    state = {"rtf": 0.0, "layers": 0}
+
+    def emit():
+        extra["bench_elapsed_s"] = round(time.time() - _T0, 0)
+        print(json.dumps({
+            "metric": f"audio-sec/sec/chip (aggregate decode RTF, {agg}+packed "
+                      f"serving, B={B}, {state['layers']}L flagship cfg)",
+            "value": round(state["rtf"], 3),
+            "unit": "x_realtime",
+            "vs_baseline": round(state["rtf"] / 5.0, 3),
+            "extra": dict(extra),
+        }), flush=True)
 
     cfg = UniMoEAudioConfig(text_config=TextMoEConfig(), vision_config=None)
     try:
@@ -354,8 +351,15 @@ def main(agg: str = "int4"):
             jax.random.PRNGKey(0)
         )
         jax.block_until_ready(params)
+    state["layers"] = cfg.text_config.num_hidden_layers
     params = quantize_model_params_inplace(params)
     params = pad_expert_ffn(params)
+    if agg.startswith("int4"):
+        # In-place int8→packed-s4 requantization of the expert FFNs
+        # (per-channel scales — the fused-dequant serving layout).  The
+        # int8 originals are freed leaf-by-leaf as it streams.
+        params = requantize_experts_int4_inplace(params)
+        gc.collect()
 
     def inputs(n_streams, mt):
         ids = jnp.asarray(
@@ -374,70 +378,7 @@ def main(agg: str = "int4"):
         eos_prob_mul_factor=jnp.float32(0.6),
     )
 
-    # ---- TTFA p50: prefill + first decode step, single stream ----------
-    ids1, attn1, buf1, steps1 = inputs(1, 24)
-    kw1 = dict(max_tokens=24, min_tokens=jnp.int32(24), do_sample=True, **common)
-    stop = jnp.int32(int(steps1[0]))
-    r = generate_jit(params, cfg, ids1, attn1, None, buf1, steps1,
-                     jax.random.PRNGKey(0), stop_at=stop, **kw1)
-    jax.block_until_ready(r.codes)
-    lat = []
-    for i in range(5):
-        t0 = time.time()
-        r = generate_jit(params, cfg, ids1, attn1, None, buf1, steps1,
-                         jax.random.PRNGKey(1 + i), stop_at=stop, **kw1)
-        jax.block_until_ready(r.codes)
-        lat.append(time.time() - t0)
-    lat.sort()
-    extra["ttfa_p50_ms"] = round(lat[len(lat) // 2] * 1e3, 1)
-
-    # ---- single-stream decode RTF (greedy latency mode) ----------------
-    kw_ss = dict(max_tokens=100, min_tokens=jnp.int32(100), do_sample=False,
-                 **common)
-    ids1, attn1, buf1, steps1 = inputs(1, 100)
-    r = generate_jit(params, cfg, ids1, attn1, None, buf1, steps1,
-                     jax.random.PRNGKey(0), **kw_ss)
-    jax.block_until_ready(r.codes)
-    t0 = time.time()
-    r = generate_jit(params, cfg, ids1, attn1, None, buf1, steps1,
-                     jax.random.PRNGKey(1), **kw_ss)
-    jax.block_until_ready(r.codes)
-    extra["single_stream_rtf_int8"] = round(
-        int(r.steps) / (time.time() - t0) / FRAME_RATE, 2)
-
-    # ---- single-stream, int4 experts (the latency operating point) -----
-    # Packed-s4 expert FFNs halve the dominant weight stream: measured
-    # 9.55 -> 6.23 ms/step (2.09x -> 3.21x RT).  Serving config
-    # UniMoEAudio(serving_mode="int4"); numerics table in docs/STATUS.md.
-    from unimoe_audio_tpu.ops.quant import requantize_experts_int4_inplace
-
-    params4 = requantize_experts_int4_inplace({
-        **params, "layers": {**params["layers"],
-                             "moe": {k: (dict(v) if isinstance(v, dict) else v)
-                                     for k, v in params["layers"]["moe"].items()}}
-    })
-    r = generate_jit(params4, cfg, ids1, attn1, None, buf1, steps1,
-                     jax.random.PRNGKey(0), **kw_ss)
-    jax.block_until_ready(r.codes)
-    best_ss = 1e9
-    for i in range(2):
-        t0 = time.time()
-        r = generate_jit(params4, cfg, ids1, attn1, None, buf1, steps1,
-                         jax.random.PRNGKey(1), **kw_ss)
-        jax.block_until_ready(r.codes)
-        best_ss = min(best_ss, (time.time() - t0) / int(r.steps))
-    extra["single_stream_rtf"] = round(1.0 / best_ss / FRAME_RATE, 2)
-    # Keep only the param set the aggregate headline needs — int8 model +
-    # int4 experts together (~8.5 GB) would crowd the B=88 KV + workspace.
-    if agg.startswith("int4"):
-        params = params4
-    else:
-        del params4
-    import gc as _gc
-    _gc.collect()
-
-    # ---- headline: aggregate decode RTF, B=88, packed dispatch ---------
-    extra["agg_config"] = agg
+    # ---- headline FIRST: aggregate decode RTF, B=88, packed dispatch ---
     ids, attn, buf, steps = inputs(B, max_tokens)
     kwargs = dict(
         max_tokens=max_tokens, min_tokens=jnp.int32(max_tokens), do_sample=True,
@@ -457,20 +398,115 @@ def main(agg: str = "int4"):
         jax.block_until_ready(res.codes)
         times.append(time.time() - t0)
         frames.append(int(res.steps))
-
     best = min(t / f for t, f in zip(times, frames))
     steps_per_sec = 1.0 / best
-    rtf = B * steps_per_sec / FRAME_RATE
+    state["rtf"] = B * steps_per_sec / FRAME_RATE
     extra["per_stream_rtf"] = round(steps_per_sec / FRAME_RATE, 3)
-    print(json.dumps({
-        "metric": f"audio-sec/sec/chip (aggregate decode RTF, {agg}+packed "
-                  f"serving, B={B}, {cfg.text_config.num_hidden_layers}L "
-                  f"flagship cfg)",
-        "value": round(rtf, 3),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / 5.0, 3),
-        "extra": extra,
-    }))
+    del res, ids, attn, buf, steps
+    emit()
+
+    # ---- TTFA p50: prefill + first decode step, single stream ----------
+    # Measured on the SAME serving params as the headline (int4 experts
+    # by default — the operating point a latency-sensitive request sees).
+    try:
+        ids1, attn1, buf1, steps1 = inputs(1, 24)
+        kw1 = dict(max_tokens=24, min_tokens=jnp.int32(24), do_sample=True,
+                   **common)
+        stop = jnp.int32(int(steps1[0]))
+        r = generate_jit(params, cfg, ids1, attn1, None, buf1, steps1,
+                         jax.random.PRNGKey(0), stop_at=stop, **kw1)
+        jax.block_until_ready(r.codes)
+        lat = []
+        for i in range(5):
+            t0 = time.time()
+            r = generate_jit(params, cfg, ids1, attn1, None, buf1, steps1,
+                             jax.random.PRNGKey(1 + i), stop_at=stop, **kw1)
+            jax.block_until_ready(r.codes)
+            lat.append(time.time() - t0)
+        lat.sort()
+        extra["ttfa_p50_ms"] = round(lat[len(lat) // 2] * 1e3, 1)
+
+        # ---- single-stream decode RTF (greedy latency mode) ------------
+        # int4 default: packed-s4 expert FFNs halve the dominant weight
+        # stream — measured 6.23 ms/step, 3.21x RT (int8: 9.55 ms, 2.10x).
+        kw_ss = dict(max_tokens=100, min_tokens=jnp.int32(100),
+                     do_sample=False, **common)
+        ids1, attn1, buf1, steps1 = inputs(1, 100)
+        r = generate_jit(params, cfg, ids1, attn1, None, buf1, steps1,
+                         jax.random.PRNGKey(0), **kw_ss)
+        jax.block_until_ready(r.codes)
+        best_ss = 1e9
+        for i in range(2):
+            t0 = time.time()
+            r = generate_jit(params, cfg, ids1, attn1, None, buf1, steps1,
+                             jax.random.PRNGKey(1), **kw_ss)
+            jax.block_until_ready(r.codes)
+            best_ss = min(best_ss, (time.time() - t0) / int(r.steps))
+        extra["single_stream_rtf"] = round(1.0 / best_ss / FRAME_RATE, 2)
+        if not agg.startswith("int4"):
+            extra["single_stream_rtf_int8"] = extra["single_stream_rtf"]
+        del r, ids1, attn1, buf1, steps1
+        emit()
+    except Exception as e:  # noqa: BLE001 — keep the headline alive
+        print(f"single-stream segment failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # ---- extras, cheapest first, each gated on the remaining budget ----
+    del params
+    gc.collect()
+
+    if remaining() > 120:
+        try:
+            extra["flash_fwd_bwd_speedup"] = round(flash_speedup(), 2)
+            emit()
+        except Exception as e:  # noqa: BLE001
+            print(f"flash probe failed: {e}", file=sys.stderr)
+    if remaining() > 300:
+        try:
+            extra["train_tokens_per_sec"] = round(train_tokens_per_sec(), 0)
+            emit()
+        except Exception as e:  # noqa: BLE001
+            print(f"train probe failed: {e}", file=sys.stderr)
+
+    def run_probe(args, timeout_s):
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, *args],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            for line in reversed(r.stdout.strip().splitlines()):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+            print(f"probe {args} produced no JSON (rc={r.returncode}): "
+                  f"{r.stderr[-300:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"probe {args} timed out ({timeout_s:.0f}s)", file=sys.stderr)
+        return {}
+
+    # 12L flagship-width deep-train (host-offloaded moments) subprocess.
+    if remaining() > 420:
+        got = run_probe(["--deep-train"], min(1500, remaining() - 45))
+        if got:
+            extra.update(got)
+            emit()
+
+    # Full 36L flagship layer-streamed training.  Preferred config first
+    # (int8 moments + grad accum); the round-2-proven fp32/gas=1 fallback
+    # only if the preferred one failed AND generous budget remains.
+    if remaining() > 600:
+        got = run_probe(["--stream-train"], min(1800, remaining() - 45))
+        if not got and remaining() > 900:
+            got = run_probe(["--stream-train", "--gas", "1",
+                             "--moments", "float32"],
+                            min(1800, remaining() - 45))
+        if got:
+            extra.update(got)
+            emit()
+
+    # Final (possibly identical) line — the one the driver records.
+    emit()
 
 
 if __name__ == "__main__":
@@ -499,5 +535,5 @@ if __name__ == "__main__":
                 "metric": "audio-sec/sec/chip (aggregate decode RTF)",
                 "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
                 "error": f"{type(e).__name__}: {e}"[:500],
-            }))
+            }), flush=True)
             raise
