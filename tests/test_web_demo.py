@@ -33,6 +33,76 @@ def test_generate_dispatcher_bad_mode(studio):
         studio.generate({"mode": "nope", "text": "x"})
 
 
+def test_generate_stream_music_status_stages(studio):
+    """Music mode streams live per-stage progress (reference's studio
+    yields status text per stage, web_demo.py:829-841): preprocess →
+    ≥1 decoding update with a growing frame count → writing → done with
+    a playable wav url."""
+    import os
+
+    stages = list(studio.generate_stream({"mode": "music", "text": "soft pad"}))
+    names = [s["status"] for s in stages]
+    assert names[0] == "preprocess"
+    assert "decoding" in names and "writing" in names
+    assert names[-1] == "done"
+    decs = [s for s in stages if s["status"] == "decoding"]
+    assert all(d["frames"] >= 1 for d in decs)
+    assert [d["frames"] for d in decs] == sorted(d["frames"] for d in decs)
+    done = stages[-1]
+    assert done["audio"].startswith("/audio/")
+    assert os.path.isfile(
+        os.path.join(studio.output_dir, os.path.basename(done["audio"])))
+
+
+def test_generate_stream_other_modes_coarse_stages(studio):
+    stages = list(studio.generate_stream({
+        "mode": "tts_preset", "text": "hello", "voice": "en_female"}))
+    # Preset wav fixtures do not exist in CI, so this may error — but it
+    # must do so through the status protocol, not an exception.
+    names = [s["status"] for s in stages]
+    assert names[0] == "preprocess"
+    assert names[-1] in ("done", "error") or "generating" in names
+
+
+def test_format_status_lines():
+    from unimoe_audio_tpu.apps.web_demo import format_status
+
+    assert "Preprocessing" in format_status({"status": "preprocess"})
+    line = format_status({"status": "decoding", "frames": 25, "of": 100,
+                          "audio_seconds": 0.5})
+    assert "25/100" in line and "0.5" in line
+    assert "Done in 3.0 s" == format_status({"status": "done", "seconds": 3.0})
+
+
+def test_http_stream_endpoint_ndjson(studio):
+    import socket
+    import time
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    th = threading.Thread(
+        target=lambda: studio.serve(host="127.0.0.1", port=port), daemon=True
+    )
+    th.start()
+    for _ in range(50):
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.1)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/generate_stream",
+        data=json.dumps({"mode": "music", "text": "bass"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    lines = [json.loads(ln) for ln in
+             urllib.request.urlopen(req, timeout=300).read().splitlines() if ln]
+    assert lines[0]["status"] == "preprocess"
+    assert lines[-1]["status"] == "done"
+    assert any(l["status"] == "decoding" for l in lines)
+
+
 def test_http_server_round_trip(studio):
     import http.server
     import socket

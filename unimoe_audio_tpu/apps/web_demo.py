@@ -24,6 +24,8 @@ import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 
+import numpy as np
+
 # Predefined showcase examples (reference: web_demo.py:103-138).
 PREDEFINED_EXAMPLES = {
     "music-jazz": {
@@ -105,17 +107,28 @@ function sw(){const m=document.getElementById('mode').value;
  video.style.display=m=='video_music'?'':'none';}
 function pick(m,t,v){document.getElementById('mode').value=m;
  text.value=t; if(v) voice.value=v; sw();}
+function show(j){
+ if(j.status=='error'){status.textContent='Error: '+j.error;return;}
+ if(j.status=='preprocess')status.textContent='Preprocessing…';
+ else if(j.status=='decoding')status.textContent=
+   'Decoding: '+j.frames+(j.of?'/'+j.of:'')+' frames ('+j.audio_seconds+' s audio)…';
+ else if(j.status=='generating')status.textContent='Generating…';
+ else if(j.status=='writing')status.textContent='Writing wav…';
+ else if(j.status=='done'){
+  status.textContent='Done in '+j.seconds.toFixed(1)+' s';
+  player.src=j.audio;player.style.display='';player.play();}}
 async function go(){
  const m=document.getElementById('mode').value;
- status.textContent='Generating…';player.style.display='none';
+ status.textContent='Starting…';player.style.display='none';
  const body={mode:m,text:text.value,ref_text:ref_text.value,
    ref_path:ref_path.value,voice:voice.value,video_path:video_path.value};
- const r=await fetch('/api/generate',{method:'POST',
+ const r=await fetch('/api/generate_stream',{method:'POST',
    headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
- const j=await r.json();
- if(j.error){status.textContent='Error: '+j.error;return;}
- status.textContent='Done in '+j.seconds.toFixed(1)+' s';
- player.src=j.audio;player.style.display='';player.play();}
+ const reader=r.body.getReader();const dec=new TextDecoder();let rest='';
+ for(;;){const {done,value}=await reader.read();if(done)break;
+  rest+=dec.decode(value,{stream:true});
+  const lines=rest.split('\\n');rest=lines.pop();
+  for(const ln of lines)if(ln.trim())show(JSON.parse(ln));}}
 </script></body></html>"""
 
 
@@ -149,6 +162,54 @@ class StudioServer:
                 time.sleep(300)
 
         threading.Thread(target=loop, daemon=True).start()
+
+    def generate_stream(self, req: Dict):
+        """Per-stage status generator (reference streams status text per
+        generation stage, web_demo.py:829-841): yields JSON-able dicts
+        `{"status": ...}` while the request runs and finishes with
+        `{"status": "done", "audio": url, "seconds": s}` (or
+        `{"status": "error", "error": msg}` — failures stay inside the
+        status protocol).  Music mode streams real decode progress
+        (frame counts) via text_to_music_stream; the other modes yield
+        coarse stage marks around the blocking call."""
+        try:
+            yield from self._generate_stream(req)
+        except Exception as e:  # noqa: BLE001 — surface through the protocol
+            yield {"status": "error", "error": str(e)}
+
+    def _generate_stream(self, req: Dict):
+        mode = req.get("mode", "music")
+        text = (req.get("text") or "").strip()
+        t0 = time.time()
+        save = f"web_{int(t0)}"
+        yield {"status": "preprocess", "mode": mode}
+        if mode == "music" and text:
+            from ..codec import audio_io
+
+            frames, waves = 0, []
+            max_frames = getattr(self.model, "MAX_TOKENS", 0) or 0
+            for chunk in self.model.text_to_music_stream(text):
+                n = int(chunk["frames"].shape[1])
+                frames += n
+                if chunk.get("audio") is not None and n:
+                    waves.append(np.asarray(chunk["audio"])[0])
+                yield {"status": "decoding", "frames": frames,
+                       "of": max_frames,
+                       "audio_seconds": round(frames / 50.0, 2)}
+            yield {"status": "writing", "frames": frames}
+            out = os.path.join(self.output_dir, f"{save}_stream.wav")
+            if waves:
+                sr = self.model.dac.config.sample_rate
+                audio_io.write_wav(out, np.concatenate(waves)[None], sr)
+            else:
+                raise RuntimeError("generation produced no audio")
+            yield {"status": "done",
+                   "audio": "/audio/" + os.path.basename(out),
+                   "frames": frames, "seconds": time.time() - t0}
+            return
+        yield {"status": "generating", "mode": mode}
+        out = self.generate(req)
+        yield dict(out, status="done")
 
     def generate(self, req: Dict) -> Dict:
         mode = req.get("mode", "music")
@@ -230,24 +291,80 @@ class StudioServer:
                     self._send(404, json.dumps({"error": "not found"}))
 
             def do_POST(self):
-                if urllib.parse.urlparse(self.path).path != "/api/generate":
-                    self._send(404, json.dumps({"error": "not found"}))
-                    return
+                path = urllib.parse.urlparse(self.path).path
                 n = int(self.headers.get("Content-Length", 0))
-                try:
-                    req = json.loads(self.rfile.read(n) or b"{}")
-                    out = studio.generate(req)
-                    self._send(200, json.dumps(out))
-                except Exception as e:  # noqa: BLE001 — surface to the UI
-                    self._send(500, json.dumps({"error": str(e)}))
+                if path == "/api/generate":
+                    try:
+                        req = json.loads(self.rfile.read(n) or b"{}")
+                        out = studio.generate(req)
+                        self._send(200, json.dumps(out))
+                    except Exception as e:  # noqa: BLE001 — surface to the UI
+                        self._send(500, json.dumps({"error": str(e)}))
+                elif path == "/api/generate_stream":
+                    # NDJSON chunked response: one status line per stage /
+                    # decode chunk (live progress in the stdlib UI — the
+                    # streaming counterpart of the reference's Gradio
+                    # status yields, web_demo.py:829-841).
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/x-ndjson")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def chunk(obj):
+                        data = (json.dumps(obj) + "\n").encode()
+                        self.wfile.write(f"{len(data):x}\r\n".encode())
+                        self.wfile.write(data + b"\r\n")
+                        self.wfile.flush()
+
+                    try:
+                        req = json.loads(self.rfile.read(n) or b"{}")
+                        for status in studio.generate_stream(req):
+                            chunk(status)
+                    except Exception as e:  # noqa: BLE001
+                        try:
+                            chunk({"status": "error", "error": str(e)})
+                        except OSError:
+                            pass
+                    try:
+                        self.wfile.write(b"0\r\n\r\n")
+                    except OSError:
+                        pass
+                else:
+                    self._send(404, json.dumps({"error": "not found"}))
 
         server = ThreadingHTTPServer((host, port), Handler)
         print(f"UniMoE-Audio studio at http://{host}:{port}  (outputs: {self.output_dir})")
         server.serve_forever()
 
 
+def format_status(j: Dict) -> str:
+    """One status line per stage dict (shared by both UI paths)."""
+    s = j.get("status")
+    if s == "preprocess":
+        return "Preprocessing…"
+    if s == "decoding":
+        of = f"/{j['of']}" if j.get("of") else ""
+        return (f"Decoding: {j['frames']}{of} frames "
+                f"({j.get('audio_seconds', 0)} s audio)…")
+    if s == "generating":
+        return "Generating…"
+    if s == "writing":
+        return "Writing wav…"
+    if s == "done":
+        return f"Done in {j['seconds']:.1f} s"
+    if s == "error":
+        return f"Error: {j.get('error')}"
+    return str(j)
+
+
 def build_gradio_demo(model):
-    """Gradio Blocks UI when gradio is installed (reference layout)."""
+    """Gradio Blocks UI when gradio is installed (reference layout).
+
+    The dispatcher is a GENERATOR: each yielded (status, audio) pair
+    streams to the UI through demo.queue() — the reference studio's
+    per-stage status yields (reference: web_demo.py:829-841, queue
+    at :967)."""
     import gradio as gr
 
     studio = StudioServer(model)
@@ -255,8 +372,16 @@ def build_gradio_demo(model):
     def dispatch(mode, text, ref_text, ref_audio, voice, video):
         req = {"mode": mode, "text": text, "ref_text": ref_text,
                "ref_path": ref_audio, "voice": voice, "video_path": video}
-        out = studio.generate(req)
-        return os.path.join(studio.output_dir, os.path.basename(out["audio"]))
+        try:
+            for j in studio.generate_stream(req):
+                if j.get("status") == "done":
+                    wav = os.path.join(studio.output_dir,
+                                       os.path.basename(j["audio"]))
+                    yield format_status(j), wav
+                else:
+                    yield format_status(j), None
+        except Exception as e:  # noqa: BLE001 — surface to the UI
+            yield f"Error: {e}", None
 
     with gr.Blocks(title="UniMoE-Audio TPU") as demo:
         gr.Markdown("# UniMoE-Audio — TPU studio")
@@ -267,9 +392,11 @@ def build_gradio_demo(model):
         ref_audio = gr.Audio(label="Reference audio (voice clone)", type="filepath")
         voice = gr.Dropdown(list(PRESET_VOICES), value="en_female", label="Preset voice")
         video = gr.Video(label="Video (video → music)")
+        status_out = gr.Textbox(label="Status", interactive=False)
         audio_out = gr.Audio(label="Generated audio")
         gr.Button("Generate").click(
-            dispatch, [mode, text, ref_text, ref_audio, voice, video], audio_out
+            dispatch, [mode, text, ref_text, ref_audio, voice, video],
+            [status_out, audio_out],
         )
     return demo
 
