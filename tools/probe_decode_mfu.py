@@ -19,6 +19,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import sys
 import tempfile
 import time
@@ -168,7 +169,8 @@ def main():
             "gflops": num(r, "Model GFLOP/s"),
             "hbm_gibs": num(r, "HBM BW (GiB/s)"),
             "bound_by": str(r.get("Bound by", "") or ""),
-            "source": str(r.get("Source Info", "") or "")[:60],
+            "source": re.sub(r"<[^>]*>", "",
+                             str(r.get("Source Info", "") or ""))[:120],
         }), flush=True)
     # Whole-step aggregates: achieved FLOP/s and HBM BW over the traced
     # device time (time-weighted means), vs the chip's ~800 GiB/s HBM.
