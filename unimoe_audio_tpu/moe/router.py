@@ -195,15 +195,28 @@ def sparse_expert_mixer_eval(
     """
     S, E = scores.shape
     scores = scores.astype(jnp.float32)
-    # One sort_key_val yields sorted values AND the permutation (stable,
-    # ascending on -scores == descending on scores) — an argsort +
-    # take_along_axis pair costs an extra ~0.6 ms/step in gathers at
-    # decode shapes.  Gradient flows through v via the (constant)
-    # permutation, same as gathering with a stop-gradded order.
-    ranks_se = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32)[None], (S, E))
-    neg_v, order = jax.lax.sort_key_val(-scores, ranks_se, dimension=-1)
-    v = -neg_v                                               # [S, E] desc
-    order = jax.lax.stop_gradient(order)
+    # Descending stable order WITHOUT a sort: E is tiny (≤ 11), so the
+    # O(E²) pairwise comparison matrix is pure fusable VPU work while a
+    # per-layer lax.sort costs ~13 µs of dispatch overhead × 36 layers ×
+    # every decode step (xprof: 2.6% of device time in category "sort").
+    # rank[s, e] = |{j : v_j > v_e, or v_j == v_e and j < e}| reproduces
+    # lax.sort_key_val's stable descending permutation exactly (ties keep
+    # index order).  oh[s, r, e] = (rank[s, e] == r) is the permutation
+    # one-hot the combine below already consumed; the sorted values are
+    # its exact one-hot contraction with the scores.  Gradient flows
+    # through v via the (constant, stop-gradded) permutation — same as
+    # gathering with a stop-gradded order.
+    ss = jax.lax.stop_gradient(scores)
+    gt = ss[:, None, :] > ss[:, :, None]                     # [S, e, j]
+    eq = ss[:, None, :] == ss[:, :, None]
+    idx = jnp.arange(E, dtype=jnp.int32)
+    tie = eq & (idx[None, :, None] > idx[None, None, :])     # j < e wins ties
+    rank = jnp.sum((gt | tie).astype(jnp.int32), axis=-1)    # [S, E]
+    ranks = jnp.arange(E)
+    oh = (rank[:, :, None] == ranks[None, None, :]).astype(jnp.float32)
+    # oh[s, e, r]: expert e sits at rank r.  v[s, r] = Σ_e oh·scores.
+    v = jnp.sum(oh * scores[:, :, None], axis=1)             # [S, E] desc
+    oh = jnp.swapaxes(oh, 1, 2)                              # [S, r, e]
     vs = jax.lax.stop_gradient(v)
     # ratio[s, r, j] = (v_r - v_j) / max(|v_r|, |v_j|); expert at rank j is
     # in round r's softmax iff j >= r and NOT(ratio > 2·eps) — the negated
@@ -225,12 +238,11 @@ def sparse_expert_mixer_eval(
     num = jnp.exp(v - jax.lax.stop_gradient(v))              # == 1, grads flow
     mult = num / denom                                       # [S, r]
     active = ranks[None, :] < top_k[:, None]                 # [S, r]
-    # Rank→expert scatter via one-hot compare + einsum (put_along_axis
-    # lowers to a TPU scatter, which measured slower than the scan it was
-    # meant to replace).
-    oh = (order[:, :, None] == ranks[None, None, :]).astype(jnp.float32)
-    # Broadcast-multiply + reduce over ranks (see sparse_expert_mixer: the
-    # einsum form costs involuntary full remat in the VJP under GSPMD).
+    # Rank→expert scatter through the permutation one-hot built above
+    # (put_along_axis lowers to a TPU scatter, measured slower than the
+    # scan this mixer replaces).  Broadcast-multiply + reduce over ranks
+    # (see sparse_expert_mixer: the einsum form costs involuntary full
+    # remat in the VJP under GSPMD).
     w = jnp.sum(jnp.where(active, mult, 0.0)[:, :, None] * oh, axis=1)
     m = jnp.sum(jnp.where(active[:, :, None], oh, 0.0), axis=1)
     return MixerResult(routing_weights=w, expert_mask=m.astype(jnp.int32))
