@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--batch", type=int, default=88)
     ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--int4", action="store_true",
+                    help="measure the headline serving config "
+                         "(packed-s4 int4 experts) instead of int8")
     args = ap.parse_args()
 
     import jax
@@ -83,6 +86,10 @@ def main():
         jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     params = pad_expert_ffn(quantize_model_params_inplace(params))
+    if args.int4:
+        from unimoe_audio_tpu.ops.quant import requantize_experts_int4_inplace
+
+        params = requantize_experts_int4_inplace(params)
 
     ids = jnp.asarray(np.random.default_rng(0).integers(
         5, cfg.text_config.vocab_size - 1, size=(2 * B, T_text)))
