@@ -82,17 +82,20 @@ def main():
         x = jax.random.normal(jax.random.PRNGKey(2), (S, DM), jnp.bfloat16)
         n_assign = int(mask.sum())
         budget = ((n_assign + 255) // 128) * 128  # headroom, 128-aligned
+        # params passes as an ARGUMENT: closing over the ~280 MB expert
+        # weights serializes them into the program and the axon remote
+        # compile rejects it (HTTP 413 — CLAUDE.md gotcha).
         fns = {
-            "dense": lambda x, m, w: D.moe_ffn_dense(x, m, w, params),
-            "packed": lambda x, m, w: D.moe_ffn_packed(x, m, w, params, cap),
-            "gmm": lambda x, m, w: D.moe_ffn_gmm(
-                x, m, w, params, assignment_budget=budget),
+            "dense": lambda x, m, w, p: D.moe_ffn_dense(x, m, w, p),
+            "packed": lambda x, m, w, p: D.moe_ffn_packed(x, m, w, p, cap),
+            "gmm": lambda x, m, w, p: D.moe_ffn_gmm(
+                x, m, w, p, assignment_budget=budget),
         }
         row = {"regime": name, "S": S, "assignments": n_assign, "cap": cap}
         best, best_t = None, 1e9
         for mode, fn in fns.items():
             try:
-                t = timeit_in_jit(fn, x, mask, w, iters=8)
+                t = timeit_in_jit(fn, x, mask, w, params, iters=8)
             except Exception as e:  # noqa: BLE001 — record, keep probing
                 row[mode + "_ms"] = None
                 row[mode + "_err"] = f"{type(e).__name__}: {e}"[:120]

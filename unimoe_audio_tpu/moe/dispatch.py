@@ -238,11 +238,15 @@ def moe_ffn_gmm(
     projection whose compute is proportional to the ACTUAL number of
     assignments — no all-experts dense work, no capacity padding.
 
-    MEASURED VERDICT (v5e, round 2, docs/STATUS.md): gmm loses 3-7x to
-    dense/packed at every regime tried — decode shapes, S=4096/8192
-    training shapes, uniform k=2 and 80%-skew, with 128-aligned FFN dims.
-    Kept as an exactness-tested mode, NOT a recommended path; 'dense'
-    (skewed loads) and 'packed' (uniform low-k) are the production
+    RETIRED as a candidate default (measured verdict, v5e 2026-08-19,
+    table + roofline argument in docs/ROOFLINE.md, probe
+    tools/probe_gmm.py): gmm loses 4-9x to dense/packed at every
+    training regime and ~100 ms/step at decode shapes — the FLOPs it
+    saves are either hidden under the weight stream (int8) or small
+    (capacity waste ≤1.24x at the serving point), while the grouped
+    Mosaic kernel runs ~4x below XLA's batched-einsum MXU utilization.
+    Kept as an exactness-tested experimental mode; 'dense' (skewed
+    loads / large S) and 'packed' (uniform low-k) are the production
     choices.
 
     assignment_budget: static row count (multiple of 128) for the packed
