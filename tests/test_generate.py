@@ -276,6 +276,78 @@ def test_sampler_topk_fast_path_matches_reference_semantics():
     assert np.abs(emp[big] - want_probs[big]).max() < 0.12
 
 
+def test_topk_threshold_bisect_exact_set():
+    """The sort-free bisection threshold must select EXACTLY the top-k
+    set for distinct values, and keep all members of an fp tie at the
+    k-th value (supersets only through exact ties)."""
+    from unimoe_audio_tpu.generate.sampler import topk_threshold_bisect
+
+    rng = np.random.default_rng(3)
+    for N, V, K in [(7, 101, 12), (1, 1027, 45), (16, 64, 1), (4, 33, 32)]:
+        x = rng.normal(size=(N, V)).astype(np.float32) * 3
+        lo = np.asarray(topk_threshold_bisect(jnp.asarray(x), K))
+        counts = (x >= lo).sum(-1)
+        np.testing.assert_array_equal(counts, K)
+        # The selected set is the true top-k set.
+        kth = np.partition(x, V - K, axis=-1)[:, V - K:V - K + 1]
+        np.testing.assert_array_equal(x >= lo, x >= kth)
+
+    # -inf (suppressed) entries are excluded and must NOT widen the
+    # bisection interval (EOS suppression inserts -inf on the serving
+    # path; a -1e30 seed would leave the interval too wide to converge).
+    x = (rng.normal(size=(5, 101)).astype(np.float32) * 3)
+    x[:, 97] = -np.inf
+    lo = np.asarray(topk_threshold_bisect(jnp.asarray(x), 12))
+    np.testing.assert_array_equal((x >= lo).sum(-1), 12)
+    kth = np.partition(x, 101 - 12, axis=-1)[:, 101 - 12:101 - 12 + 1]
+    np.testing.assert_array_equal(x >= lo, x >= kth)
+
+    # Exact ties at the k-th value: every tied member stays in.
+    x = np.zeros((2, 10), np.float32)
+    x[:, :4] = 5.0  # four-way tie; K=2 straddles it
+    x[:, 4:] = -1.0
+    lo = np.asarray(topk_threshold_bisect(jnp.asarray(x), 2))
+    np.testing.assert_array_equal((x >= lo).sum(-1), 4)
+
+
+def test_sampler_topk_only_path_distribution():
+    """top_p >= 1 dispatches to the sort-free bisection branch; its
+    distribution must equal the reference's top-k mask → softmax
+    (utils/UniMoE_Audio_model.py:893-903): support exactly the top-k
+    set, probabilities the renormalized softmax over it."""
+    import torch
+    from unimoe_audio_tpu.generate.sampler import sample_next_token
+
+    rng = np.random.default_rng(1)
+    N, V, K = 16, 101, 8
+    logits = rng.normal(size=(N, V)).astype(np.float32)
+    temperature, eos = 0.9, 97
+
+    t = torch.tensor(logits) / temperature
+    top_idx = t.argmax(-1)
+    mask_eos = torch.zeros_like(t, dtype=torch.bool)
+    mask_eos[top_idx != eos, eos] = True
+    t = t.masked_fill(mask_eos, float("-inf"))
+    kth = torch.topk(t, K, dim=-1).values[:, -1:]
+    t = t.masked_fill(t < kth, float("-inf"))
+    want_probs = torch.softmax(t, dim=-1).numpy()
+
+    sample = jax.jit(lambda key: sample_next_token(
+        key, jnp.asarray(logits), temperature=temperature,
+        top_p=1.0, top_k=K, audio_eos_value=eos))
+    counts = np.zeros((N, V))
+    keys = jax.random.split(jax.random.PRNGKey(7), 600)
+    for k in keys:
+        s = np.asarray(sample(k))
+        counts[np.arange(N), s] += 1
+    emp = counts / counts.sum(-1, keepdims=True)
+    # Never samples outside the exact top-k set.
+    assert ((emp > 0) <= (want_probs > 1e-9)).all(), "sampled outside support"
+    # High-probability tokens roughly match.
+    big = want_probs > 0.2
+    assert np.abs(emp[big] - want_probs[big]).max() < 0.12
+
+
 def test_generate_unequal_voice_prompts(setup):
     """Two samples with different prompt lengths: decode starts at
     min(prefill)-1 and the longer prompt's rows win the mask-merge
