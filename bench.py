@@ -276,14 +276,17 @@ def deep_train_probe(moment_dtype: str = "int8"):
 
 def main(agg: str = "int4"):
     """agg picks the aggregate-headline serving config:
-    "int8" | "int8+kv8" | "int4" | "int4+kv8" — experts int8 or packed-s4
-    int4 (identical runtime layout to the quality-audited int4-gptq mode),
-    KV cache bf16 or int8 (models/layers.KVCache).  The default is the
-    measured-best config that holds the per-stream >=1.1x guarantee:
-    2026-08-19 battery matrix at B=88 — int4 109.33x/1.242x per-stream
-    vs int8 99.6x/1.132x (quality bar cleared: per-channel GPTQ matches
-    int8 logit fidelity, docs/STATUS.md); B=112 int4 reached 112.8x agg
-    but fails per-stream (1.007x), so B stays 88.
+    "int8" | "int8+kv8" | "int4" | "int4+kv8" | "int4a8" — experts int8
+    or packed-s4 int4 (identical runtime layout to the quality-audited
+    int4-gptq mode), KV cache bf16 or int8 (models/layers.KVCache);
+    "int4a8" adds int8-MXU expert compute (w4a8: per-row activation quant,
+    s8×s8→s32 dots at 2× the bf16 MXU rate — the decode step is
+    expert-compute-bound, docs/ROOFLINE.md) on prefill AND decode, and
+    runs B=128: the extra compute headroom moves the per-stream-≥1.1×
+    batch frontier out (measured 2026-08-19: B=88 139.4×/1.58×,
+    B=128 155.7×/1.22×; int4 bf16-compute B=88 was 111.7×/1.27× the same
+    session).  Earlier battery context: int4 109.33×/1.242× vs int8
+    99.6×/1.132× at B=88; B=112 bf16-compute failed per-stream (1.007×).
 
     Measurement order is headline-first (see module docstring): the B=88
     aggregate prints as soon as it is measured, then TTFA/single-stream
@@ -313,11 +316,14 @@ def main(agg: str = "int4"):
         return budget - (time.time() - _T0)
 
     FRAME_RATE = 50.0
-    B = 88
+    A8 = agg.endswith("a8")
+    B = 128 if A8 else 88
     T_text = 32
     max_tokens = 150
-    DCAP = 112                      # decode per-expert slots (2B=176 tokens)
-    PCAP = 3328                     # prefill slots (2B·T_text=5632 tokens)
+    # Per-expert slot budgets, scaled from the proven B=88 operating point
+    # (112 decode / 3328 prefill slots) like tools/probe_a8_agg.py.
+    DCAP = max(int(round(112 * B / 88 / 8)) * 8, 8)
+    PCAP = max(int(round(3328 * B / 88 / 128)) * 128, 128)
 
     extra = {"agg_config": agg}
     state = {"rtf": 0.0, "layers": 0}
@@ -380,10 +386,11 @@ def main(agg: str = "int4"):
 
     # ---- headline FIRST: aggregate decode RTF, B=88, packed dispatch ---
     ids, attn, buf, steps = inputs(B, max_tokens)
+    mode = "packed_a8" if A8 else "packed"
     kwargs = dict(
         max_tokens=max_tokens, min_tokens=jnp.int32(max_tokens), do_sample=True,
-        dispatch_mode="packed", prefill_capacity=PCAP,
-        decode_dispatch_mode="packed", decode_capacity=DCAP, **common,
+        dispatch_mode=mode, prefill_capacity=PCAP,
+        decode_dispatch_mode=mode, decode_capacity=DCAP, **common,
     )
     if agg.endswith("+kv8"):
         kwargs["kv_dtype"] = "int8"
@@ -522,7 +529,7 @@ if __name__ == "__main__":
         stream_train_probe(gas=gas, moment_dtype=mdt)
     else:
         agg = sys.argv[sys.argv.index("--agg") + 1] \
-            if "--agg" in sys.argv else "int4"
+            if "--agg" in sys.argv else "int4a8"
         try:
             main(agg=agg)
         except Exception as e:  # noqa: BLE001

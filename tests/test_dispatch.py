@@ -127,3 +127,70 @@ def test_compress_decompress_round_trip():
     packed2 = D.compress_matrix(mask.astype(jnp.float32), mask, force_dim=S + 7)
     back2 = np.asarray(D.decompress_matrix(packed2, mask))
     np.testing.assert_allclose(back2, np.asarray(mask, dtype=np.float32))
+
+
+def _quantize_expert_params(params):
+    from unimoe_audio_tpu.ops.quant import quantize_tensor
+
+    return {k: quantize_tensor(v) for k, v in params.items()}
+
+
+def test_a8_matches_bf16_within_quant_error():
+    """packed_a8 == packed up to int8 activation-quant error (the a8 path
+    changes only the projections' arithmetic, not dispatch/combine)."""
+    rng = jax.random.PRNGKey(7)
+    S, E, dim, F = 48, 4, 32, 64
+    params = _quantize_expert_params(make_params(rng, E, dim, F))
+    hidden = jax.random.normal(jax.random.fold_in(rng, 1), (S, dim))
+    mask, w = random_routing(jax.random.fold_in(rng, 2), S, E)
+
+    base = D.moe_ffn_packed(hidden, mask, w, params, capacity=S)
+    a8 = D.moe_ffn_packed(hidden, mask, w, params, capacity=S, a8=True)
+    # int8 per-row activation quant: ~0.5% relative error per projection.
+    err = np.abs(np.asarray(a8) - np.asarray(base))
+    scale = np.abs(np.asarray(base)).mean() + 1e-6
+    assert err.mean() / scale < 0.05, err.mean() / scale
+    # and it must actually differ (the a8 path ran, not the fallback)
+    assert err.max() > 0
+
+
+def test_a8_falls_back_on_raw_weights():
+    """a8 with unquantized (or group-wise) weights is exactly the bf16
+    path — serving configs without QTensor experts stay untouched."""
+    rng = jax.random.PRNGKey(8)
+    S, E, dim, F = 24, 2, 16, 32
+    params = make_params(rng, E, dim, F)
+    hidden = jax.random.normal(jax.random.fold_in(rng, 1), (S, dim))
+    mask, w = random_routing(jax.random.fold_in(rng, 2), S, E)
+
+    base = D.moe_ffn_packed(hidden, mask, w, params, capacity=S)
+    a8 = D.moe_ffn_packed(hidden, mask, w, params, capacity=S, a8=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(a8))
+
+
+def test_a8_block_mode_suffix_and_training_guard():
+    """dcmoe_block accepts 'packed_a8' and rejects it under training."""
+    from unimoe_audio_tpu.config import tiny_test_config
+    from unimoe_audio_tpu.moe.block import dcmoe_block, init_dcmoe_params
+
+    cfg = tiny_test_config(num_hidden_layers=1).text_config
+    rng = jax.random.PRNGKey(9)
+    params = init_dcmoe_params(rng, cfg)
+    params["dynamic"] = _quantize_expert_params(params["dynamic"])
+    params["fixed"] = _quantize_expert_params(params["fixed"])
+    x = jax.random.normal(jax.random.fold_in(rng, 1),
+                          (2, 6, cfg.hidden_size), dtype=jnp.bfloat16)
+
+    base = dcmoe_block(params, x, cfg, dispatch_mode="packed", capacity=12)
+    a8 = dcmoe_block(params, x, cfg, dispatch_mode="packed_a8", capacity=12)
+    # Router outputs are untouched by a8 (same gate math).
+    np.testing.assert_array_equal(np.asarray(base.expert_mask),
+                                  np.asarray(a8.expert_mask))
+    d = np.abs(np.asarray(a8.hidden_states, np.float32)
+               - np.asarray(base.hidden_states, np.float32))
+    s = np.abs(np.asarray(base.hidden_states, np.float32)).mean() + 1e-6
+    assert d.mean() / s < 0.1, d.mean() / s
+
+    with pytest.raises(ValueError, match="serving-only"):
+        dcmoe_block(params, x, cfg, dispatch_mode="packed_a8", capacity=12,
+                    training=True, rng=rng)

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--gptq", type=int, nargs="*", default=[64],
                     help="GPTQ group sizes to measure (calibrated on the "
                          "same prompt distribution)")
+    ap.add_argument("--a8", action="store_true",
+                    help="also measure each config with int8-MXU expert "
+                         "compute (the *_a8 dispatch modes): adds per-row "
+                         "activation quant error on top of weight quant")
     args = ap.parse_args()
 
     import jax
@@ -65,12 +69,14 @@ def main():
     batch = dict(codec_input_ids=jnp.asarray(codes),
                  attention_mask=jnp.ones((B, T), jnp.int32))
 
-    fwd = jax.jit(lambda p: model_forward(
-        p, cfg, ids_j, **batch).codec_logits.astype(jnp.float32))
+    fwd = jax.jit(lambda p, dm: model_forward(
+        p, cfg, ids_j, dispatch_mode=dm,
+        **batch).codec_logits.astype(jnp.float32),
+        static_argnames=("dm",))
 
-    def logits_for(make_params):
+    def logits_for(make_params, dm="dense"):
         p = make_params()
-        out = np.asarray(jax.device_get(fwd(p)))
+        out = np.asarray(jax.device_get(fwd(p, dm)))
         del p
         return out
 
@@ -104,6 +110,9 @@ def main():
 
     print(json.dumps({"config": "int8", **metrics(logits_for(int8_params))}),
           flush=True)
+    if args.a8:
+        print(json.dumps({"config": "int8_a8", **metrics(
+            logits_for(int8_params, dm="dense_a8"))}), flush=True)
 
     for G in args.groups:
         def int4_params(G=G):
@@ -111,6 +120,9 @@ def main():
             return Q.requantize_experts_int4_inplace(p, group_size=G)
         print(json.dumps({"config": f"int4_experts_G{G}",
                           **metrics(logits_for(int4_params))}), flush=True)
+        if args.a8 and G == 0:
+            print(json.dumps({"config": "int4_a8", **metrics(
+                logits_for(int4_params, dm="dense_a8"))}), flush=True)
 
     # GPTQ (error-compensated) expert int4, calibrated on the SAME prompt
     # distribution the deltas are measured on (the favorable case — real
@@ -127,6 +139,9 @@ def main():
             return Q.pad_expert_ffn(p)
         print(json.dumps({"config": f"int4_gptq_G{G}",
                           **metrics(logits_for(gptq_params))}), flush=True)
+        if args.a8:
+            print(json.dumps({"config": f"int4_gptq_G{G}_a8", **metrics(
+                logits_for(gptq_params, dm="dense_a8"))}), flush=True)
 
 
 if __name__ == "__main__":

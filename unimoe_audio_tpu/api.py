@@ -89,6 +89,7 @@ class UniMoEAudio:
         serving_mode: bool = False,
         gptq_calibration: Optional[dict] = None,
         kv_cache_dtype: Optional[str] = None,
+        a8_compute: bool = True,
     ):
         """serving_mode applies the tuned single-chip serving stack:
         weight-only quantization, lane-padded expert FFNs, and
@@ -111,7 +112,14 @@ class UniMoEAudio:
         kv_cache_dtype="int8" stores the decode KV cache int8 with
         per-(position, head) scales — halves the per-step KV stream,
         which at 20 s generations (max_tokens≈1000) rivals the int8
-        weight stream (models/layers.KVCache)."""
+        weight stream (models/layers.KVCache).
+        a8_compute (default True) runs packed-dispatch expert FFNs on
+        the int8 MXU path ('packed_a8': per-row int8 activation quant,
+        s8×s8→s32 dots at 2× the bf16 rate — measured +25% aggregate
+        RTF at B=88, +0.0002 KL; docs/ROOFLINE.md).  It only engages
+        where serving_mode enables packed dispatch AND the expert
+        weights are per-channel QTensors (otherwise bit-identical
+        fallback); pass False to force bf16 expert compute."""
         del device_id  # JAX targets the default device; kept for API parity
         self.MAX_TOKENS = max_tokens if max_tokens is not None else UniMoEAudio.MAX_TOKENS
         self.MIN_TOKENS = min_tokens if min_tokens is not None else UniMoEAudio.MIN_TOKENS
@@ -142,6 +150,7 @@ class UniMoEAudio:
         assert kv_cache_dtype in (None, "int8"), kv_cache_dtype
         self.serving_mode = serving_mode
         self.kv_cache_dtype = kv_cache_dtype
+        self.a8_compute = a8_compute
         self.tokenizer = tokenizer or self._load_tokenizer(model_path)
         if self.tokenizer is None and allow_random:
             # Self-contained dev mode: hash-vocab tokenizer with the special
@@ -476,11 +485,15 @@ class UniMoEAudio:
         if getattr(self, "serving_mode", False):
             S_dec = input_ids.shape[0]
             S_pre = input_ids.shape[0] * input_ids.shape[1]
+            # a8: int8-MXU expert compute wherever packed dispatch is on
+            # (graceful bit-identical fallback when the experts aren't
+            # per-channel QTensors — see moe/dispatch.swiglu_expert_ffn).
+            pk = "packed_a8" if getattr(self, "a8_compute", True) else "packed"
             if S_dec >= 64:
-                dispatch_kw["decode_dispatch_mode"] = "packed"
+                dispatch_kw["decode_dispatch_mode"] = pk
                 dispatch_kw["decode_capacity"] = -(-int(S_dec * 0.64) // 16) * 16
             if S_pre >= 1024:
-                dispatch_kw["dispatch_mode"] = "packed"
+                dispatch_kw["dispatch_mode"] = pk
                 dispatch_kw["prefill_capacity"] = -(-int(S_pre * 0.57) // 128) * 128
 
         if getattr(self, "kv_cache_dtype", None):
@@ -899,7 +912,8 @@ class UniMoEAudio:
         S_dec = 2 * slots
         if (not deterministic and getattr(self, "serving_mode", False)
                 and S_dec >= 64):
-            dispatch_kw["decode_dispatch_mode"] = "packed"
+            dispatch_kw["decode_dispatch_mode"] = (
+                "packed_a8" if getattr(self, "a8_compute", True) else "packed")
             dispatch_kw["decode_capacity"] = -(-int(S_dec * 0.64) // 16) * 16
             # Packed capacity drops couple co-resident rows: a request's
             # output may depend on batch load.  Say so once rather than

@@ -60,9 +60,25 @@ def dcmoe_block(
       padding_token_mask: [B, T] 1 for real tokens (gates expert selection;
         reference: utils/UniMoE_Audio_core.py:286-288).
       aux_balance_weight: [B, T] per-token emphasis for the aux loss.
-      dispatch_mode: 'dense' | 'packed' | 'ep' (see moe.dispatch).
+      dispatch_mode: 'dense' | 'packed' | 'ep' | 'gmm' (see moe.dispatch),
+        optionally with an '_a8' suffix ('packed_a8', ...): expert FFNs
+        (dynamic AND fixed) run on the int8 MXU path — per-row activation
+        quant, s8×s8→s32 dots at 2× bf16 throughput (the B=88 decode step
+        is expert-compute-bound, docs/ROOFLINE.md).  Serving-only: a8
+        with training=True is an error (round() has no gradient).
       capacity: static per-expert slot count for packed/ep paths.
     """
+    a8 = dispatch_mode.endswith("_a8")
+    if a8:
+        dispatch_mode = dispatch_mode[: -len("_a8")]
+        if training:
+            raise ValueError("a8 expert compute is serving-only (round() "
+                             "is not differentiable); drop the _a8 suffix "
+                             "for training")
+        if dispatch_mode == "gmm":
+            raise ValueError("gmm dispatch has no a8 variant (the grouped "
+                             "Pallas kernel is bf16; gmm is retired anyway "
+                             "— docs/ROOFLINE.md)")
     B, T, dim = hidden_states.shape
     S = B * T
     E_dyn = cfg.num_dynamic_experts
@@ -169,15 +185,17 @@ def dcmoe_block(
     real_mask = expert_mask[:, :E_real]
     real_w = gw[:, :E_real]
     if dispatch_mode == "dense":
-        out = D.moe_ffn_dense(x_orig, real_mask, real_w, params["dynamic"])
+        out = D.moe_ffn_dense(x_orig, real_mask, real_w, params["dynamic"],
+                              a8=a8)
     elif dispatch_mode == "packed":
         out = D.moe_ffn_packed(
-            x_orig, real_mask, real_w, params["dynamic"], capacity if capacity is not None else S
+            x_orig, real_mask, real_w, params["dynamic"],
+            capacity if capacity is not None else S, a8=a8
         )
     elif dispatch_mode == "ep":
         out = D.moe_ffn_ep(
             x_orig, real_mask, real_w, params["dynamic"], capacity if capacity is not None else S,
-            axis_name=ep_axis,
+            axis_name=ep_axis, a8=a8,
         )
     elif dispatch_mode == "gmm":
         # NB: gmm's budget counts TOTAL (token, expert) assignments — a
@@ -200,7 +218,7 @@ def dcmoe_block(
         x_fixed = jnp.broadcast_to(
             x_orig[None], (cfg.mlp_fixed_expert_num,) + x_orig.shape
         )
-        y_fixed = D.swiglu_expert_ffn(x_fixed, params["fixed"])  # [nF, S, D]
+        y_fixed = D.swiglu_expert_ffn(x_fixed, params["fixed"], a8=a8)  # [nF, S, D]
         # Combine as broadcast-multiply + reduce, not einsum: the einsum's
         # VJP emits a transposed dot whose sharding GSPMD can only satisfy
         # with involuntary full rematerialization under an expert-sharded

@@ -32,14 +32,52 @@ import jax
 import jax.numpy as jnp
 
 
-def swiglu_expert_ffn(x_ecd: jnp.ndarray, params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+def _a8_eligible(params: Dict[str, jnp.ndarray]) -> bool:
+    """a8 requires per-channel-scaled QTensor weights on all three
+    projections (the serving layout); anything else falls back to bf16."""
+    from ..ops.quant import QTensor
+
+    return all(
+        isinstance(params[k], QTensor) and params[k].s.shape[-2] == 1
+        for k in ("gate", "up", "down")
+    )
+
+
+def swiglu_expert_ffn(
+    x_ecd: jnp.ndarray, params: Dict[str, jnp.ndarray], *, a8: bool = False
+) -> jnp.ndarray:
     """Batched per-expert SwiGLU FFN: [E, C, D] → [E, C, D].
 
     Mirrors AudioDynamicExpertMLP (reference: utils/UniMoE_Audio_core.py:34-49)
     batched over the expert dim so every projection is one MXU matmul.
     Accepts raw or int8-quantized weights (ops.quant).
-    """
-    from ..ops.quant import expert_einsum
+
+    a8=True runs the projections on the int8 MXU path: activations are
+    quantized per row (ops.quant.act_quant_int8), the dots run s8×s8→s32
+    at 2× the bf16 MXU rate (v5e: 394 TOPS vs 197 TFLOP/s — the B=88
+    decode step is expert-COMPUTE-bound, docs/ROOFLINE.md), and outputs
+    are rescaled by the rank-1 (row scale × per-channel weight scale)
+    outer product.  Contractions are overflow-safe: |sum| ≤ D·127·127
+    ≈ 3.3e7 ≪ 2^31.  Serving-only (round() is not differentiable);
+    requires per-channel QTensor weights, else falls back to bf16."""
+    from ..ops.quant import act_quant_int8, expert_einsum
+
+    if a8 and _a8_eligible(params):
+        q, s = act_quant_int8(x_ecd)
+
+        def dot8(spec, qx, w):
+            return jnp.einsum(spec, qx, w.q.astype(jnp.int8),
+                              preferred_element_type=jnp.int32)
+
+        g = dot8("ecd,edf->ecf", q, params["gate"]).astype(jnp.float32) \
+            * (s * params["gate"].s.astype(jnp.float32))
+        u = dot8("ecd,edf->ecf", q, params["up"]).astype(jnp.float32) \
+            * (s * params["up"].s.astype(jnp.float32))
+        h = (jax.nn.silu(g) * u).astype(x_ecd.dtype)
+        hq, hs = act_quant_int8(h)
+        y = dot8("ecf,efd->ecd", hq, params["down"]).astype(jnp.float32) \
+            * (hs * params["down"].s.astype(jnp.float32))
+        return y.astype(x_ecd.dtype)
 
     g = expert_einsum("ecd,edf->ecf", x_ecd, params["gate"])
     u = expert_einsum("ecd,edf->ecf", x_ecd, params["up"])
@@ -60,6 +98,8 @@ def moe_ffn_dense(
     expert_mask: jnp.ndarray,
     router_weight: jnp.ndarray,
     params: Dict[str, jnp.ndarray],
+    *,
+    a8: bool = False,
 ) -> jnp.ndarray:
     """Dense path: run all experts on all tokens, combine by weight.
 
@@ -73,7 +113,7 @@ def moe_ffn_dense(
 
     w = router_weight * expert_mask.astype(router_weight.dtype)  # [S, E]
     x = jnp.broadcast_to(hidden[None], (wshape(params["gate"])[0],) + hidden.shape)
-    y = swiglu_expert_ffn(x, params)  # [E, S, D]
+    y = swiglu_expert_ffn(x, params, a8=a8)  # [E, S, D]
     # Combine = Σ_e y[e,s,d]·w[s,e].  Written as broadcast-multiply +
     # reduce rather than an einsum: the contraction is over E (tiny, VPU
     # work either way), and the einsum's VJP emits a transposed dot whose
@@ -155,6 +195,8 @@ def moe_ffn_packed(
     router_weight: jnp.ndarray,
     params: Dict[str, jnp.ndarray],
     capacity: int,
+    *,
+    a8: bool = False,
 ) -> jnp.ndarray:
     """Capacity-packed path: pack → batched expert FFN → weighted combine.
 
@@ -166,12 +208,12 @@ def moe_ffn_packed(
     if S * E * capacity <= _ONEHOT_BUDGET:
         oh, pos = _dispatch_onehot(expert_mask, capacity)
         packed = jnp.einsum("sec,sd->ecd", oh.astype(hidden.dtype), hidden)
-        y = swiglu_expert_ffn(packed, params)                # [E, cap, D]
+        y = swiglu_expert_ffn(packed, params, a8=a8)         # [E, cap, D]
         w = (router_weight * expert_mask.astype(router_weight.dtype))
         cw = oh.astype(y.dtype) * w[:, :, None].astype(y.dtype)
         return jnp.einsum("sec,ecd->sd", cw, y)
     packed, _, pos = pack_by_expert(hidden, expert_mask, capacity)
-    y = swiglu_expert_ffn(packed.astype(hidden.dtype), params)
+    y = swiglu_expert_ffn(packed.astype(hidden.dtype), params, a8=a8)
     return combine_from_packed(y, pos, expert_mask, router_weight)
 
 
@@ -183,6 +225,7 @@ def moe_ffn_ep(
     capacity: int,
     *,
     axis_name: str = "expert",
+    a8: bool = False,
 ) -> jnp.ndarray:
     """Expert-parallel packed path — call INSIDE shard_map.
 
@@ -215,7 +258,7 @@ def moe_ffn_ep(
     recv = jax.lax.all_to_all(packed, axis_name, split_axis=0, concat_axis=0, tiled=False)
     # recv: [ep(src), E_local, cap, D] → merge src-rank and cap dims.
     x_local = jnp.swapaxes(recv, 0, 1).reshape(E_local, ep * capacity, D)
-    y_local = swiglu_expert_ffn(x_local.astype(hidden.dtype), params)
+    y_local = swiglu_expert_ffn(x_local.astype(hidden.dtype), params, a8=a8)
     # Undo: [E_local, ep, cap, D] → [ep, E_local, cap, D] → all_to_all back.
     y_send = jnp.swapaxes(y_local.reshape(E_local, ep, capacity, D), 0, 1)
     y_home = jax.lax.all_to_all(y_send, axis_name, split_axis=0, concat_axis=0, tiled=False)

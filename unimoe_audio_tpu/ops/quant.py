@@ -101,6 +101,19 @@ def proj_matmul(x: jnp.ndarray, proj: Dict) -> jnp.ndarray:
     return y
 
 
+def act_quant_int8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row symmetric int8 activation quantization over the LAST dim.
+
+    Returns (q s8 same shape, s f32 [..., 1]) with x ≈ q · s.  Zero rows
+    (packed-dispatch padding slots) quantize to q=0 under the epsilon
+    floor, so padding stays exact."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def expert_einsum(spec: str, x: jnp.ndarray, w: WeightLike) -> jnp.ndarray:
     """einsum('ecd,edf->ecf'-style) for raw or quantized expert weights.
 
