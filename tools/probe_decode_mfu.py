@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--int4", action="store_true",
                     help="measure the headline serving config "
                          "(packed-s4 int4 experts) instead of int8")
+    ap.add_argument("--a8", action="store_true",
+                    help="int8-MXU expert compute (packed_a8 dispatch on "
+                         "prefill+decode — the int4a8 bench default; pair "
+                         "with --int4 --batch 128)")
     args = ap.parse_args()
 
     import jax
@@ -78,8 +82,12 @@ def main():
     else:
         cfg = UniMoEAudioConfig(text_config=TextMoEConfig(), vision_config=None)
         B, T_text, frames = args.batch, 32, args.frames
-        kwargs = dict(dispatch_mode="packed", prefill_capacity=3328,
-                      decode_dispatch_mode="packed", decode_capacity=112)
+        mode = "packed_a8" if args.a8 else "packed"
+        # Slot budgets scale from the proven B=88 point (112 / 3328).
+        dcap = max(int(round(112 * B / 88 / 8)) * 8, 8)
+        pcap = max(int(round(3328 * B / 88 / 128)) * 128, 128)
+        kwargs = dict(dispatch_mode=mode, prefill_capacity=pcap,
+                      decode_dispatch_mode=mode, decode_capacity=dcap)
 
     params = jax.jit(lambda k: init_model_params(
         k, cfg, dtype=jnp.float32 if args.tiny else jnp.bfloat16))(
