@@ -58,8 +58,13 @@ def swiglu_expert_ffn(
     decode step is expert-COMPUTE-bound, docs/ROOFLINE.md), and outputs
     are rescaled by the rank-1 (row scale × per-channel weight scale)
     outer product.  Contractions are overflow-safe: |sum| ≤ D·127·127
-    ≈ 3.3e7 ≪ 2^31.  Serving-only (round() is not differentiable);
-    requires per-channel QTensor weights, else falls back to bf16."""
+    ≈ 3.3e7 ≪ 2^31.  The g/u epilogues cast to bf16 BEFORE the silu·u
+    product: the f32 formulation was VMEM-write-bound (xprof: loop
+    fusion 10.6% of step @ 177 GiB/s) and bf16 epilogues measured +2.1%
+    aggregate with 12L quality unchanged (87.6%/KL 0.00377 — identical
+    to bf16-compute GPTQ; docs/ROOFLINE.md).  Serving-only (round() is
+    not differentiable); requires per-channel QTensor weights, else
+    falls back to bf16."""
     from ..ops.quant import act_quant_int8, expert_einsum
 
     if a8 and _a8_eligible(params):
@@ -69,11 +74,11 @@ def swiglu_expert_ffn(
             return jnp.einsum(spec, qx, w.q.astype(jnp.int8),
                               preferred_element_type=jnp.int32)
 
-        g = dot8("ecd,edf->ecf", q, params["gate"]).astype(jnp.float32) \
-            * (s * params["gate"].s.astype(jnp.float32))
-        u = dot8("ecd,edf->ecf", q, params["up"]).astype(jnp.float32) \
-            * (s * params["up"].s.astype(jnp.float32))
-        h = (jax.nn.silu(g) * u).astype(x_ecd.dtype)
+        g = (dot8("ecd,edf->ecf", q, params["gate"]).astype(jnp.float32)
+             * (s * params["gate"].s.astype(jnp.float32))).astype(x_ecd.dtype)
+        u = (dot8("ecd,edf->ecf", q, params["up"]).astype(jnp.float32)
+             * (s * params["up"].s.astype(jnp.float32))).astype(x_ecd.dtype)
+        h = jax.nn.silu(g) * u
         hq, hs = act_quant_int8(h)
         y = dot8("ecf,efd->ecd", hq, params["down"]).astype(jnp.float32) \
             * (hs * params["down"].s.astype(jnp.float32))
