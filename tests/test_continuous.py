@@ -186,10 +186,15 @@ def test_continuous_server_deterministic_flag_forces_dense():
                                chunk_frames=4)
     det = m.continuous_server(slots=32, t_text=T_TEXT, horizon=64,
                               chunk_frames=4, deterministic=True)
-    assert wide.dispatch["decode_dispatch_mode"] == "packed"
+    assert wide.dispatch["decode_dispatch_mode"] == "packed_a8"
     assert wide.dispatch["decode_capacity"] >= 16
     assert det.dispatch["decode_dispatch_mode"] is None
     assert det.dispatch["decode_capacity"] is None
+    # a8_compute=False opts back into bf16 expert compute.
+    m.a8_compute = False
+    wide_bf = m.continuous_server(slots=32, t_text=T_TEXT, horizon=64,
+                                  chunk_frames=4)
+    assert wide_bf.dispatch["decode_dispatch_mode"] == "packed"
 
 
 def test_sampled_mode_completes_with_valid_structure():
